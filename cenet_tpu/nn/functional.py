@@ -1,0 +1,233 @@
+"""Functional spatial ops with exact PyTorch/scipy semantics, designed for TPU.
+
+The reference (xmindflow/cenet) leans on three resampling families:
+
+* ``F.interpolate(mode='bilinear')`` with both ``align_corners`` conventions
+  (e.g. FEA edge extraction at ``modules/dseb.py:63-69``, up-blocks at
+  ``modules/blocks.py:195,210``, image-pool branch ``modules/cfam.py:217``);
+* ``scipy.ndimage.zoom`` (cubic spline, order 3 / nearest, order 0) on the data and
+  eval paths (``datasets/dataset_synapse.py:111``, ``utils/utils_synapse.py:58-71``);
+* ``nn.Upsample(scale_factor=2)`` nearest (EUCB, ``modules/blocks.py:304``).
+
+Rather than gather loops (which map poorly to TPU), every 1-D resampling operator is
+expressed as a dense interpolation matrix applied separably:  ``out = W_h @ x @ W_w^T``.
+The matrices are tiny (≤ 512×512) host-side numpy constants, the application is batched
+MXU matmuls — bit-exact linear-operator semantics (incl. scipy's global spline
+prefilter, which is linear) at matmul speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# 1-D interpolation operator matrices (host-side, cached)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def torch_bilinear_matrix(
+    in_size: int, out_size: int, align_corners: bool, scale: Optional[float] = None
+) -> np.ndarray:
+    """(out, in) matrix replicating torch ``F.interpolate`` linear sampling on one axis.
+
+    torch (antialias=False) samples the input with bilinear interpolation at
+    ``src = o * (in-1)/(out-1)`` (align_corners) or ``max((o+0.5)/s - 0.5, 0)`` where
+    ``s`` is the *caller-provided* scale_factor when one was given
+    (recompute_scale_factor=False), else ``out/in``.
+    """
+    s = scale if scale is not None else out_size / in_size
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for o in range(out_size):
+        if align_corners:
+            src = 0.0 if out_size == 1 else o * (in_size - 1) / (out_size - 1)
+        else:
+            src = max((o + 0.5) / s - 0.5, 0.0)
+        i0 = int(np.floor(src))
+        i0 = min(i0, in_size - 1)
+        i1 = min(i0 + 1, in_size - 1)
+        lam = src - i0
+        w[o, i0] += 1.0 - lam
+        w[o, i1] += lam
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def scipy_zoom_matrix(in_size: int, out_size: int, order: int) -> np.ndarray:
+    """(out, in) matrix replicating 1-D ``scipy.ndimage.zoom(..., order=order)``.
+
+    Built by pushing the identity through scipy itself, so the operator (including the
+    global spline prefilter) is reproduced exactly; zoom is linear in its input.
+    """
+    from scipy.ndimage import zoom as _zoom
+
+    eye = np.eye(in_size, dtype=np.float64)
+    cols = _zoom(eye, (1.0, out_size / in_size), order=order)
+    assert cols.shape == (in_size, out_size), (cols.shape, in_size, out_size)
+    return np.ascontiguousarray(cols.T).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def adaptive_avg_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) averaging matrix for torch ``AdaptiveAvgPool1d`` bucket semantics."""
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for o in range(out_size):
+        start = (o * in_size) // out_size
+        end = -((-(o + 1) * in_size) // out_size)  # ceil
+        w[o, start:end] = 1.0 / (end - start)
+    return w.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Separable application (NHWC)
+# ---------------------------------------------------------------------------
+
+
+def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+    """Apply per-axis operator matrices to an NHWC tensor via batched matmuls."""
+    dtype = x.dtype
+    wh_j = jnp.asarray(wh, dtype=dtype)
+    ww_j = jnp.asarray(ww, dtype=dtype)
+    # (B,H,W,C): contract H then W. HIGHEST precision: these small interpolation
+    # matmuls define data/eval-path parity and must not drop to bf16 on the MXU.
+    x = jnp.einsum("oh,bhwc->bowc", wh_j, x, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("pw,bowc->bopc", ww_j, x, precision=jax.lax.Precision.HIGHEST)
+    return x
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """torch ``F.interpolate(x, size=out_hw, mode='bilinear', align_corners=...)`` (NHWC)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    return _apply_separable(
+        x,
+        torch_bilinear_matrix(h, oh, align_corners),
+        torch_bilinear_matrix(w, ow, align_corners),
+    )
+
+
+def resize_bilinear_by_scale(x: jnp.ndarray, scale: float, align_corners: bool = False) -> jnp.ndarray:
+    """torch ``F.interpolate(x, scale_factor=scale, mode='bilinear')``: out = floor(in*s),
+    with the given scale (not out/in) used in the coordinate mapping."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = int(h * scale), int(w * scale)
+    if (oh, ow) == (h, w) and align_corners:
+        return x
+    return _apply_separable(
+        x,
+        torch_bilinear_matrix(h, oh, align_corners, scale),
+        torch_bilinear_matrix(w, ow, align_corners, scale),
+    )
+
+
+def zoom_resize(x: jnp.ndarray, out_hw: tuple[int, int], order: int = 3) -> jnp.ndarray:
+    """``scipy.ndimage.zoom`` to ``out_hw`` with spline ``order``, batched on device (NHWC)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    return _apply_separable(x, scipy_zoom_matrix(h, oh, order), scipy_zoom_matrix(w, ow, order))
+
+
+@functools.lru_cache(maxsize=None)
+def _zoom_nearest_indices(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Output→input index map (+validity) of 1-D scipy zoom with order=0.
+
+    Derived from the identity-matrix push-through so scipy's fp boundary behaviour
+    (coordinates landing infinitesimally outside → cval 0) is reproduced exactly.
+    """
+    m = scipy_zoom_matrix(in_size, out_size, order=0)
+    idx = np.argmax(m, axis=1).astype(np.int32)
+    valid = m.sum(axis=1) > 0
+    return idx, valid
+
+
+def zoom_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """``scipy.ndimage.zoom(..., order=0)`` (nearest) for any dtype, incl. int labels."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    idx_h, valid_h = _zoom_nearest_indices(h, oh)
+    idx_w, valid_w = _zoom_nearest_indices(w, ow)
+    x = jnp.take(x, jnp.asarray(idx_h), axis=1)
+    x = jnp.take(x, jnp.asarray(idx_w), axis=2)
+    valid = jnp.asarray(np.logical_and.outer(valid_h, valid_w))[None, :, :, None]
+    return jnp.where(valid, x, jnp.zeros_like(x))
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """torch ``nn.Upsample(scale_factor=f)`` (nearest) on NHWC."""
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """torch ``AdaptiveAvgPool2d(out_hw)`` on NHWC."""
+    h, w = x.shape[1], x.shape[2]
+    return _apply_separable(x, adaptive_avg_pool_matrix(h, out_hw[0]), adaptive_avg_pool_matrix(w, out_hw[1]))
+
+
+def max_pool2d(x: jnp.ndarray, kernel: int = 2, stride: int = 2) -> jnp.ndarray:
+    """torch ``MaxPool2d(kernel, stride)`` (no padding) on NHWC."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """torch-style channel shuffle on NHWC (reference ``modules/blocks.py:285-294``)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Activations with exact torch semantics
+# ---------------------------------------------------------------------------
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch ``nn.GELU()`` default, unlike jax.nn.gelu's tanh approx."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+def relu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.relu(x)
+
+
+def hardswish(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.hard_swish(x)
+
+
+def relu6(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.minimum(jax.nn.relu(x), 6.0)
+
+
+def softmax_fp32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Softmax computed in float32 and cast back (reference ``multihead_diffattn.py:108``)."""
+    y = jax.nn.softmax(x.astype(jnp.float32), axis=axis)
+    return y.astype(x.dtype)
