@@ -1,0 +1,221 @@
+"""Attention modules: PVT spatial-reduction attention, differential attention, non-local.
+
+All cores route through a pluggable ``attention_core`` so the XLA reference path and the
+fused Pallas kernel (``cenet_tpu/ops``) are interchangeable and cross-validated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cenet_tpu.nn import functional as F
+from cenet_tpu.nn.layers import (
+    BatchNorm,
+    Conv2d,
+    Dense,
+    Dropout,
+    LayerNorm,
+    RMSNorm,
+    normal_init,
+    trunc_normal_init,
+)
+
+
+def xla_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain attention: softmax(q @ kᵀ) @ v with fp32 softmax; q pre-scaled.
+
+    q: (B, H, N, D), k: (B, H, M, D), v: (B, H, M, Dv) → (B, H, N, Dv).
+    """
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    weights = F.softmax_fp32(logits, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+
+
+def get_attention_core(impl: str = "xla") -> Callable:
+    if impl == "xla":
+        return xla_attention_core
+    if impl == "pallas":
+        from cenet_tpu.ops.flash_attention import flash_attention_core
+
+        return flash_attention_core
+    raise ValueError(f"unknown attention impl: {impl}")
+
+
+class SRAAttention(nn.Module):
+    """PVTv2 spatial-reduction attention (reference ``pvtv2.py:50-109``).
+
+    Tokens (B, N, C) with known (H, W); when ``sr_ratio > 1`` the KV stream is
+    downsampled by a strided conv + LayerNorm before projection.
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    sr_ratio: int = 1
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, H: int, W: int, deterministic: bool = True) -> jnp.ndarray:
+        B, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+        scale = self.qk_scale or hd**-0.5
+
+        q = Dense(C, C, use_bias=self.qkv_bias, weight_init=trunc_normal_init(0.02), bias_init=nn.initializers.zeros, name="q")(x)
+        q = q.reshape(B, N, h, hd).transpose(0, 2, 1, 3)
+
+        if self.sr_ratio > 1:
+            x_ = x.reshape(B, H, W, C)
+            x_ = Conv2d(
+                C, C, self.sr_ratio, stride=self.sr_ratio, padding=0,
+                weight_init=self._conv_init(), name="sr",
+            )(x_)
+            x_ = x_.reshape(B, -1, C)
+            x_ = LayerNorm(C, eps=1e-5, name="norm")(x_)
+        else:
+            x_ = x
+        kv = Dense(C, C * 2, use_bias=self.qkv_bias, weight_init=trunc_normal_init(0.02), bias_init=nn.initializers.zeros, name="kv")(x_)
+        M = x_.shape[1]
+        kv = kv.reshape(B, M, 2, h, hd).transpose(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+
+        core = get_attention_core(self.attn_impl)
+        out = core(q * jnp.asarray(scale, q.dtype), k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = Dense(C, C, use_bias=True, weight_init=trunc_normal_init(0.02), bias_init=nn.initializers.zeros, name="proj")(out)
+        out = Dropout(self.proj_drop)(out, deterministic)
+        return out
+
+    @staticmethod
+    def _conv_init():
+        from cenet_tpu.nn.layers import fan_out_conv_init
+
+        return fan_out_conv_init
+
+
+def lambda_init_fn(depth: int) -> float:
+    """Reference ``multihead_diffattn.py:28-29``."""
+    return 0.8 - 0.6 * math.exp(-0.3 * depth)
+
+
+class MultiheadDiffAttn(nn.Module):
+    """DIFF-Transformer attention (reference ``multihead_diffattn.py:32-129``).
+
+    Non-causal (the reference's causal mask and rotary embedding are commented out);
+    heads split into two groups whose softmax maps are combined as A₁ − λ·A₂ with the
+    reparameterized λ, followed by an affine-free RMSNorm and ×(1 − λ_init).
+    Optional GQA via ``num_kv_heads`` (reference ``repeat_kv``, ``:17-26``).
+    Optional rotary embedding is capability parity with the reference's dead Triton
+    kernel (``modules/kernel/rotary.py``) — off by default, like the reference.
+    """
+
+    embed_dim: int
+    depth: int
+    num_heads: int
+    num_kv_heads: Optional[int] = None
+    attn_impl: str = "xla"
+    use_rotary: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, rel_pos=None) -> jnp.ndarray:
+        B, N, E = x.shape
+        h = self.num_heads
+        h_kv = self.num_kv_heads or h
+        n_rep = h // h_kv
+        hd = E // h // 2
+        scaling = hd**-0.5
+        lambda_init = lambda_init_fn(self.depth)
+
+        q = Dense(E, E, use_bias=False, name="q_proj")(x)
+        k = Dense(E, E // n_rep, use_bias=False, name="k_proj")(x)
+        v = Dense(E, E // n_rep, use_bias=False, name="v_proj")(x)
+
+        q = q.reshape(B, N, 2 * h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, 2 * h_kv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, h_kv, 2 * hd).transpose(0, 2, 1, 3)
+
+        if self.use_rotary and rel_pos is not None:
+            from cenet_tpu.ops.rotary import apply_rotary_emb
+
+            cos, sin = rel_pos
+            q = apply_rotary_emb(q, cos, sin, interleaved=True)
+            k = apply_rotary_emb(k, cos, sin, interleaved=True)
+
+        if n_rep > 1:
+            k = jnp.repeat(k, n_rep, axis=1)
+            v = jnp.repeat(v, n_rep, axis=1)
+
+        lam_shape = (hd,)
+        lam_init = normal_init(0.1)
+        lambda_q1 = self.param("lambda_q1", lam_init, lam_shape, jnp.float32)
+        lambda_k1 = self.param("lambda_k1", lam_init, lam_shape, jnp.float32)
+        lambda_q2 = self.param("lambda_q2", lam_init, lam_shape, jnp.float32)
+        lambda_k2 = self.param("lambda_k2", lam_init, lam_shape, jnp.float32)
+        lambda_1 = jnp.exp(jnp.sum(lambda_q1 * lambda_k1))
+        lambda_2 = jnp.exp(jnp.sum(lambda_q2 * lambda_k2))
+        lambda_full = (lambda_1 - lambda_2 + lambda_init).astype(x.dtype)
+
+        if self.attn_impl == "pallas":
+            from cenet_tpu.ops.diff_attention import diff_attention_core
+
+            attn = diff_attention_core(q * jnp.asarray(scaling, q.dtype), k, v, lambda_full)
+        else:
+            logits = jnp.einsum("bhnd,bhmd->bhnm", q * jnp.asarray(scaling, q.dtype), k)
+            logits = jnp.nan_to_num(logits)
+            weights = F.softmax_fp32(logits, axis=-1)
+            weights = weights.reshape(B, h, 2, N, N)
+            weights = weights[:, :, 0] - lambda_full * weights[:, :, 1]
+            if rel_pos is not None and not self.use_rotary:
+                weights = weights + rel_pos
+            attn = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+
+        attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)
+        attn = attn * (1 - lambda_init)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, N, h * 2 * hd)
+        return Dense(E, E, use_bias=False, name="out_proj")(attn)
+
+
+class Nonlocal(nn.Module):
+    """Non-local denoising block (reference ``modules/nlb.py:8-148``).
+
+    θ/φ/g 1×1 convs; HW×HW affinity softmax-normalized with C^-0.5 scale; output
+    conv + BN; learnable scalar blend z = (1−w)·x + w·p.
+    """
+
+    dim_inner: int
+    instantiation: str = "softmax"
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        theta = Conv2d(C, C, 1, name="conv_theta")(x).reshape(B, H * W, C)
+        phi = Conv2d(C, C, 1, name="conv_phi")(x).reshape(B, H * W, C)
+        g = Conv2d(C, C, 1, name="conv_g")(x).reshape(B, H * W, C)
+
+        if self.instantiation == "softmax":
+            scale = C**-0.5
+            core = get_attention_core(self.attn_impl)
+            out = core(
+                theta[:, None] * jnp.asarray(scale, theta.dtype), phi[:, None], g[:, None]
+            )[:, 0]
+        elif self.instantiation == "dot_product":
+            aff = jnp.einsum("bnc,bmc->bnm", theta, phi) / (H * W)
+            out = jnp.einsum("bnm,bmc->bnc", aff, g)
+        else:
+            raise NotImplementedError(self.instantiation)
+
+        p = out.reshape(B, H, W, C)
+        p = Conv2d(C, C, 1, name="conv_out")(p)
+        p = BatchNorm(C, eps=1e-5, name="bn")(p, train)
+        w = self.param("w", lambda key, shape: jnp.full(shape, 0.5, jnp.float32), ())
+        w = w.astype(x.dtype)
+        return (1 - w) * x + w * p
