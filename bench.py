@@ -1,0 +1,96 @@
+"""Benchmark: flagship CENet (Synapse config) throughput on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline metric: training images/sec/chip at 224×224 (full fwd+bwd+SGD update,
+bf16 policy, boundary loss — the reference's canonical Synapse configuration).
+The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline``
+divides by a documented estimate of the PyTorch reference on A100: ~38 GFLOP/step
+× AMP at the ~8% MFU typical of small BN-heavy CNN/ViT hybrids ≈ 650 img/s.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE = 650.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("synapse")
+    tr = Trainer(cfg, max_iterations=1000)
+    bs = 8
+
+    # init on CPU (fast eager path), then place on the TPU
+    cpu = [d for d in jax.local_devices(backend="cpu")] if "cpu" in {d.platform for d in jax.local_devices()} else []
+    tpu = jax.devices()[0]
+    t0 = time.time()
+    with jax.default_device(cpu[0]) if cpu else jax.default_device(tpu):
+        state = tr.init_state(jax.random.PRNGKey(0), (1, 224, 224, 1))
+    state = jax.device_put(state, tpu)
+    jax.block_until_ready(state.params)
+
+    images = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).standard_normal((bs, 224, 224, 1)), jnp.float32), tpu
+    )
+    labels = jax.device_put(
+        jnp.asarray(np.random.default_rng(1).integers(0, 9, (bs, 224, 224)), jnp.int32), tpu
+    )
+
+    # NOTE: on the axon tunnel, block_until_ready does NOT synchronize; the only
+    # reliable fence is a host transfer. All timing below chains computations and
+    # syncs once via float() — per-sync tunnel RTT (~30 ms) is amortized.
+    step = tr.train_step
+    rng = jax.random.PRNGKey(0)
+    state, loss = step(state, images, labels, rng)  # compile
+    float(loss)
+
+    n_iters = 30
+    t0 = time.time()
+    for i in range(n_iters):
+        state, loss = step(state, images, labels, jax.random.fold_in(rng, i))
+    final_loss = float(loss)  # true sync: forces the whole chained sequence
+    dt = (time.time() - t0) / n_iters
+    train_ips = bs / dt
+
+    # eval throughput: chain by feeding the (clipped) output back as input
+    eval_step = tr.eval_step
+    probs = eval_step(state, images)
+    float(probs[0, 0, 0, 0])
+    t0 = time.time()
+    x = images
+    for _ in range(30):
+        probs = eval_step(state, x)
+        x = images + 0.0 * probs[..., :1]  # data dependency → serial chain
+    float(probs[0, 0, 0, 0])
+    eval_ips = bs / ((time.time() - t0) / 30)
+
+    print(
+        json.dumps(
+            {
+                "metric": "synapse_cenet_train_images_per_sec_per_chip",
+                "value": round(train_ips, 1),
+                "unit": "img/s",
+                "vs_baseline": round(train_ips / A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE, 2),
+                "eval_images_per_sec_per_chip": round(eval_ips, 1),
+                "train_step_ms": round(dt * 1e3, 2),
+                "final_loss": round(final_loss, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

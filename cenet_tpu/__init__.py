@@ -10,3 +10,5 @@ handles NCHW/OIHW transposition.
 """
 
 __version__ = "0.1.0"
+
+from cenet_tpu.models.cenet import CENet, CENetOrg  # noqa: F401

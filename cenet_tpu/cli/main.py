@@ -1,0 +1,269 @@
+"""Unified CLI: train/eval for all four workloads (replaces main_{synapse,acdc,skin}.py).
+
+Usage:
+    python -m cenet_tpu.cli.main train  --preset synapse --root_path .../Synapse --list_dir .../lists_Synapse
+    python -m cenet_tpu.cli.main eval   --preset acdc --checkpoint path.npz ...
+    python -m cenet_tpu.cli.main bench  --preset synapse
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser("cenet-tpu")
+    p.add_argument("mode", choices=["train", "eval", "bench"])
+    p.add_argument("--preset", required=True, choices=["synapse", "acdc", "ham10000", "ph2"])
+    p.add_argument("--root_path", default=None)
+    p.add_argument("--list_dir", default=None)
+    p.add_argument("--output_dir", default="./model_out")
+    p.add_argument("--checkpoint", default=None, help=".npz (ours) or .pth (torch) to load")
+    p.add_argument("--pretrained_pth", default=None, help="pvt_v2_bX.pth encoder weights")
+    p.add_argument("--model_version", default=None, choices=[None, "cenet", "cenet_org"])
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--base_lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--amp", action="store_true", default=None)
+    p.add_argument("--no-amp", dest="amp", action="store_false")
+    p.add_argument("--attn_impl", default=None, choices=[None, "xla", "chunked", "pallas"])
+    p.add_argument("--eval_interval", type=int, default=None)
+    p.add_argument("--throughput", action="store_true")
+    return p
+
+
+def make_config(args):
+    from cenet_tpu.core.config import get_preset
+
+    cfg = get_preset(args.preset)
+    model, train, data = cfg.model, cfg.train, cfg.data
+    if args.model_version:
+        model = dataclasses.replace(model, model_version=args.model_version)
+    if args.attn_impl:
+        model = dataclasses.replace(model, attn_impl=args.attn_impl)
+    for field, val in [("max_epochs", args.max_epochs), ("batch_size", args.batch_size),
+                       ("base_lr", args.base_lr), ("seed", args.seed), ("amp", args.amp),
+                       ("eval_interval", args.eval_interval)]:
+        if val is not None:
+            train = dataclasses.replace(train, **{field: val})
+    if args.root_path:
+        data = dataclasses.replace(data, root_path=args.root_path)
+    if args.list_dir:
+        data = dataclasses.replace(data, list_dir=args.list_dir)
+    return cfg.replace(model=model, train=train, data=data, output_dir=args.output_dir)
+
+
+def snapshot_path(cfg) -> str:
+    t = cfg.train
+    return os.path.join(
+        cfg.output_dir,
+        f"{cfg.data.dataset}_{cfg.model.model_version}_e{t.max_epochs}_bs{t.batch_size}"
+        f"_lr{t.base_lr}_s{t.seed}{('_' + cfg.tag) if cfg.tag else ''}",
+    )
+
+
+def _datasets(cfg):
+    d = cfg.data
+    if d.dataset == "synapse":
+        from cenet_tpu.data.synapse import SynapseDataset
+
+        return (
+            SynapseDataset(d.root_path, d.list_dir, "train", d.img_size),
+            None,
+            SynapseDataset(d.root_path, d.list_dir, "test_vol", d.img_size, preload=False),
+        )
+    if d.dataset == "acdc":
+        from cenet_tpu.data.acdc import ACDCDataset
+
+        return (
+            ACDCDataset(d.root_path, d.list_dir, "train", d.img_size),
+            ACDCDataset(d.root_path, d.list_dir, "valid", d.img_size),
+            ACDCDataset(d.root_path, d.list_dir, "test", d.img_size, preload=False),
+        )
+    from cenet_tpu.data.skin import SkinDataset
+
+    return (
+        SkinDataset(d.dataset, d.root_path, "train", d.img_size),
+        SkinDataset(d.dataset, d.root_path, "val", d.img_size),
+        SkinDataset(d.dataset, d.root_path, "test", d.img_size),
+    )
+
+
+def run_train(cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from cenet_tpu.core.checkpoint import CheckpointManager, load_pretrained_encoder
+    from cenet_tpu.core.logging_utils import ScalarWriter, Throughput, setup_logging
+    from cenet_tpu.data.loader import Loader
+    from cenet_tpu.train.trainer import Trainer
+
+    snap = snapshot_path(cfg)
+    log = setup_logging(snap, "train")
+    log.info("config: %s", cfg)
+    writer = ScalarWriter(os.path.join(snap, "tb"))
+
+    tr_ds, vl_ds, te_ds = _datasets(cfg)
+    bs = cfg.train.batch_size
+    iters_per_epoch = len(tr_ds) // bs
+    max_iterations = cfg.train.max_epochs * iters_per_epoch
+    trainer = Trainer(cfg, max_iterations, iters_per_epoch=iters_per_epoch)
+
+    cpu = jax.local_devices(backend="cpu")
+    dev = jax.devices()[0]
+    with jax.default_device(cpu[0] if cpu else dev):
+        state = trainer.init_state(
+            jax.random.PRNGKey(cfg.train.seed), (1, cfg.data.img_size, cfg.data.img_size, cfg.model.input_channels)
+        )
+    if args.pretrained_pth:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = load_pretrained_encoder(variables, args.pretrained_pth)
+        state = dataclasses.replace(state, params=variables["params"], batch_stats=variables["batch_stats"])
+        log.info("loaded pretrained encoder from %s", args.pretrained_pth)
+    state = jax.device_put(state, dev)
+
+    loader = Loader(len(tr_ds), tr_ds.get_train, bs, seed=cfg.train.seed)
+    ckpt = CheckpointManager(snap, keep=cfg.train.ckpt_keep)
+    meter = Throughput()
+    best_val = best_test = 0.0
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    it = 0
+    for epoch in range(cfg.train.max_epochs):
+        for batch in loader.epoch(epoch):
+            images = jax.device_put(jnp.asarray(batch["image"]), dev)
+            labels = jax.device_put(jnp.asarray(batch["label"]), dev)
+            state, loss = trainer.train_step(state, images, labels, jax.random.fold_in(rng, it))
+            meter.step(bs)
+            if it % 20 == 0:
+                lv = float(loss)
+                log.info("iter %d epoch %d loss %.5f lr %.6f %.1f img/s", it, epoch, lv,
+                         float(trainer.schedule(it)), meter.images_per_sec)
+                writer.scalar("info/criterion", lv, it)
+                writer.scalar("info/lr", float(trainer.schedule(it)), it)
+            it += 1
+        # eval / checkpoint policy
+        if cfg.data.dataset in ("synapse",):
+            if (epoch + 1) >= cfg.train.max_epochs // 2 and (epoch + 1) % cfg.train.eval_interval == 0:
+                ckpt.save(it, state, tag=f"epoch{epoch+1}")
+                log.info("saved snapshot at epoch %d", epoch + 1)
+        else:
+            val_d = _quick_val(trainer, state, vl_ds, cfg)
+            writer.scalar("info/val_dice", val_d, it)
+            log.info("epoch %d val dice %.4f", epoch, val_d)
+            if val_d > best_val:
+                best_val = val_d
+                ckpt.save_best(state, {"val_dice": val_d, "epoch": epoch})
+                log.info("new best val dice %.4f (saved)", val_d)
+    ckpt.save(it, state, tag="final")
+    log.info("training done; throughput %.1f img/s", meter.images_per_sec)
+    if args.throughput:
+        print(json.dumps({"metric": "train_images_per_sec", "value": meter.images_per_sec}))
+    return state
+
+
+def _quick_val(trainer, state, vl_ds, cfg):
+    import jax.numpy as jnp
+
+    from cenet_tpu.evaluate.skin import _batch_dice
+
+    if vl_ds is None:
+        return 0.0
+    bs = cfg.train.batch_size
+    dices = []
+    n = len(vl_ds)
+    for i in range(0, n - n % bs, bs):
+        images = jnp.stack([jnp.asarray(vl_ds.get_eval(j)["image"]) for j in range(i, i + bs)])
+        labels = np.stack([vl_ds.get_eval(j)["label"] for j in range(i, i + bs)])
+        probs = trainer.eval_step(state, images)
+        dices.append(_batch_dice(np.asarray(probs).argmax(-1), labels))
+    return float(np.mean(dices)) if dices else 0.0
+
+
+def run_eval(cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from cenet_tpu.core.checkpoint import CheckpointManager, _load_npz
+    from cenet_tpu.core.logging_utils import setup_logging
+    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig, run_inference
+    from cenet_tpu.train.trainer import Trainer
+
+    snap = snapshot_path(cfg)
+    log = setup_logging(snap, "eval")
+    tr_ds, vl_ds, te_ds = _datasets(cfg)
+    trainer = Trainer(cfg, max_iterations=1)
+    cpu = jax.local_devices(backend="cpu")
+    dev = jax.devices()[0]
+    with jax.default_device(cpu[0] if cpu else dev):
+        state = trainer.init_state(
+            jax.random.PRNGKey(cfg.train.seed), (1, cfg.data.img_size, cfg.data.img_size, cfg.model.input_channels)
+        )
+    ckpt_path = args.checkpoint or os.path.join(snap, "best.npz")
+    if ckpt_path.endswith(".pth"):
+        from cenet_tpu.convert.torch2jax import convert_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(ckpt_path)
+        variables, report = convert_state_dict(
+            sd, {"params": state.params, "batch_stats": state.batch_stats}, cfg.model.model_version, strict=False
+        )
+        log.info("torch checkpoint: %d missing, %d unused", len(report["missing"]), len(report["unused"]))
+        state = dataclasses.replace(state, params=variables["params"], batch_stats=variables["batch_stats"])
+    else:
+        tree = _load_npz(ckpt_path)
+        state = dataclasses.replace(state, params=tree["params"], batch_stats=tree["batch_stats"])
+    state = jax.device_put(state, dev)
+    log.info("loaded checkpoint %s", ckpt_path)
+
+    if cfg.data.dataset in ("synapse", "acdc"):
+        inf = VolumeInferencer(
+            lambda x: trainer.eval_step(state, x),
+            VolumeInferenceConfig(
+                img_size=cfg.data.img_size,
+                normalize=(cfg.data.dataset == "synapse"),
+                num_classes=cfg.model.num_classes,
+            ),
+        )
+        dice, hd = run_inference(inf, list(te_ds.volumes()), full_metrics=(cfg.data.dataset == "acdc"), log=log)
+        print(json.dumps({"mean_dice": dice, "mean_hd95": hd}))
+    else:
+        from cenet_tpu.evaluate.skin import skin_test
+
+        bs = cfg.train.batch_size
+
+        def batches():
+            import jax.numpy as jnp
+
+            n = len(te_ds)
+            for i in range(0, n, bs):
+                idxs = range(i, min(i + bs, n))
+                yield {
+                    "image": jnp.stack([jnp.asarray(te_ds.get_eval(j)["image"]) for j in idxs]),
+                    "label": np.stack([te_ds.get_eval(j)["label"] for j in idxs]),
+                }
+
+        dice, acc, iou = skin_test(lambda x: trainer.eval_step(state, x), batches())
+        log.info("test dice %.4f acc %.4f iou %.4f", dice, acc, iou)
+        print(json.dumps({"dice": dice, "acc": acc, "iou": iou}))
+
+
+def main():
+    args = build_argparser().parse_args()
+    cfg = make_config(args)
+    np.random.seed(cfg.train.seed)
+    if args.mode == "train":
+        run_train(cfg, args)
+    elif args.mode == "eval":
+        run_eval(cfg, args)
+    else:
+        os.execvp("python", ["python", os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Device mesh and sharding layer — the framework's communication backend.
+
+The reference has no distributed backend at all (single-process ``nn.DataParallel``,
+``main_synapse.py:210-211``; no torch.distributed anywhere). Here distribution is
+first-class and TPU-native (SURVEY.md §2.7):
+
+* a ``Mesh`` over the slice's chips with axes ``('data', 'model')`` — gradients ride
+  ICI via the collectives XLA inserts for sharded reductions;
+* batch sharded over 'data' (pure DP by default, model=1);
+* optional 'model' axis for head-sharded attention weights (TP);
+* multi-host: ``jax.distributed.initialize`` + per-host data feeding over DCN.
+
+No hand-written collectives: we annotate shardings with ``NamedSharding`` /
+``with_sharding_constraint`` and let GSPMD place psum/all-gather on the ICI links.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1  # -1: all remaining devices
+    model: int = 1
+
+
+def make_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(cfg.model, 1)
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):
+    """Multi-host initialization over DCN (no-op on a single host)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the 'data' axis (NHWC / NL / scalar batches)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along dim 0 over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_params(mesh: Mesh, params, rules=None):
+    """Place parameters on the mesh.
+
+    Default: fully replicated (pure DP). With ``rules`` (list of (path-substring,
+    PartitionSpec)), matching parameters are sharded — used for head-sharded (TP)
+    attention projections over the 'model' axis.
+    """
+    rep = replicated(mesh)
+
+    def place(path, x):
+        if rules:
+            pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+            for substr, spec in rules:
+                if substr in pstr and len(x.shape) >= len([s for s in spec if s is not None]):
+                    return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+# Tensor-parallel rules for the diff-attention / SRA projections: shard the output
+# features of q/k/v (head dim) and the input features of the out-projection over
+# 'model'. GSPMD then runs per-device head groups with an all-reduce on out_proj.
+TP_ATTENTION_RULES = [
+    ("q_proj/weight", P(None, "model")),
+    ("k_proj/weight", P(None, "model")),
+    ("v_proj/weight", P(None, "model")),
+    ("out_proj/weight", P("model", None)),
+    ("attn/q/weight", P(None, "model")),
+    ("attn/kv/weight", P(None, "model")),
+    ("attn/proj/weight", P("model", None)),
+]

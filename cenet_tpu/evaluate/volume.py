@@ -1,0 +1,109 @@
+"""Volume inference engine — the throughput-critical eval path.
+
+The reference loops per-slice with batch=1 host↔device ping-pong
+(``utils/utils_synapse.py:50-81``, SURVEY.md §3.2). Here the whole volume is
+processed on device: slices are zoomed to the network size with the exact
+scipy-spline operator (as a batched matmul), normalized, run through the jitted
+model in fixed-size chunks (padded — one XLA compilation per chunk size), argmaxed,
+and zoomed back with order-0 semantics. Metrics run on host numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cenet_tpu.nn import functional as F
+from cenet_tpu.evaluate.metrics import calculate_metric_percase, calculate_metric_percase_full
+
+
+@dataclasses.dataclass
+class VolumeInferenceConfig:
+    img_size: int = 224
+    chunk: int = 32  # slices per device batch (one compiled shape)
+    normalize: bool = True  # Synapse: Normalize(0.5, 0.5); ACDC: none
+    num_classes: int = 9
+
+
+class VolumeInferencer:
+    """Batched per-volume predictor.
+
+    ``predict_fn(images_nhwc) -> probs_nhwk`` must be a jitted softmax forward
+    (e.g. ``Trainer.eval_step`` partial'd with state).
+    """
+
+    def __init__(self, predict_fn: Callable, cfg: VolumeInferenceConfig):
+        self.predict_fn = predict_fn
+        self.cfg = cfg
+
+    def predict_volume(self, image: np.ndarray) -> np.ndarray:
+        """image (D, H, W) float → label volume (D, H, W) int32."""
+        d, h, w = image.shape
+        s = self.cfg.img_size
+        x = jnp.asarray(image, jnp.float32)[..., None]  # (D, H, W, 1)
+        x = F.zoom_resize(x, (s, s), order=3) if (h, w) != (s, s) else x
+        if self.cfg.normalize:
+            x = (x - 0.5) / 0.5
+
+        # chunked forward with padding (bounded compile count: one shape)
+        c = self.cfg.chunk
+        pad = (-d) % c
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, s, s, 1), x.dtype)], axis=0)
+        preds = []
+        for i in range(0, d + pad, c):
+            probs = self.predict_fn(x[i : i + c])
+            preds.append(jnp.argmax(probs, axis=-1).astype(jnp.int32))
+        pred = jnp.concatenate(preds, axis=0)[:d]  # (D, s, s)
+
+        if (h, w) != (s, s):
+            pred = F.zoom_nearest(pred[..., None], (h, w))[..., 0]
+        return np.asarray(pred)
+
+    def evaluate_case(
+        self,
+        image: np.ndarray,
+        label: np.ndarray,
+        full_metrics: bool = False,
+    ) -> Tuple[np.ndarray, List[Tuple[float, ...]]]:
+        """Returns (prediction volume, per-class metric tuples for classes 1..K-1)."""
+        pred = self.predict_volume(image)
+        metric_fn = calculate_metric_percase_full if full_metrics else calculate_metric_percase
+        metrics = [metric_fn(pred == i, label == i) for i in range(1, self.cfg.num_classes)]
+        return pred, metrics
+
+
+def run_inference(
+    inferencer: VolumeInferencer,
+    cases: Sequence[Dict],
+    full_metrics: bool = False,
+    log: Optional[logging.Logger] = None,
+    save_hook: Optional[Callable] = None,
+) -> Tuple[float, float]:
+    """Aggregate per-case metrics exactly like the reference ``inference``
+    (``utils_synapse.py:151-168``): per-class means over cases, then overall means.
+    Returns (mean_dice, mean_hd95)."""
+    log = log or logging.getLogger(__name__)
+    metric_sum = None
+    for i, case in enumerate(cases):
+        pred, metrics = inferencer.evaluate_case(case["image"], case["label"], full_metrics)
+        arr = np.array(metrics, dtype=np.float64)
+        metric_sum = arr if metric_sum is None else metric_sum + arr
+        log.info(
+            " idx %d case %s mean_dice %f mean_hd95 %f",
+            i, case.get("case_name", str(i)), arr[:, 0].mean(), arr[:, 1].mean(),
+        )
+        if save_hook is not None:
+            save_hook(case, pred)
+    metric_mean = metric_sum / len(cases)
+    for c in range(metric_mean.shape[0]):
+        log.info("Mean class %d -> mean_dice: %f, mean_hd95: %f", c + 1, metric_mean[c, 0], metric_mean[c, 1])
+    performance = float(metric_mean[:, 0].mean())
+    mean_hd95 = float(metric_mean[:, 1].mean())
+    log.info("Testing performance: mean_dice: %f, mean_hd95: %f", performance, mean_hd95)
+    return performance, mean_hd95

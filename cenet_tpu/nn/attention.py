@@ -37,8 +37,15 @@ def xla_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
 
 
 def get_attention_core(impl: str = "xla") -> Callable:
+    """'xla': naive full-matrix (reference numerics, O(N²) memory);
+    'chunked': query-block scan, identical numerics, O(N·chunk) memory;
+    'pallas': fused TPU kernel (chunked fallback off-TPU)."""
     if impl == "xla":
         return xla_attention_core
+    if impl == "chunked":
+        from cenet_tpu.ops.flash_attention import chunked_attention_core
+
+        return chunked_attention_core
     if impl == "pallas":
         from cenet_tpu.ops.flash_attention import flash_attention_core
 
@@ -163,12 +170,12 @@ class MultiheadDiffAttn(nn.Module):
         lambda_2 = jnp.exp(jnp.sum(lambda_q2 * lambda_k2))
         lambda_full = (lambda_1 - lambda_2 + lambda_init).astype(x.dtype)
 
-        if self.attn_impl == "pallas":
-            from cenet_tpu.ops.diff_attention import diff_attention_core
-
-            attn = diff_attention_core(q * jnp.asarray(scaling, q.dtype), k, v, lambda_full)
-        else:
-            logits = jnp.einsum("bhnd,bhmd->bhnm", q * jnp.asarray(scaling, q.dtype), k)
+        qs = q * jnp.asarray(scaling, q.dtype)
+        if self.attn_impl == "xla" or (rel_pos is not None and not self.use_rotary):
+            # Naive reference path: full (B, 2h, N, N) maps, exact reference order
+            # of ops incl. the (no-op on finite inputs) nan_to_num
+            # (multihead_diffattn.py:105-121). O(N²) memory — use for parity only.
+            logits = jnp.einsum("bhnd,bhmd->bhnm", qs, k)
             logits = jnp.nan_to_num(logits)
             weights = F.softmax_fp32(logits, axis=-1)
             weights = weights.reshape(B, h, 2, N, N)
@@ -176,6 +183,15 @@ class MultiheadDiffAttn(nn.Module):
             if rel_pos is not None and not self.use_rotary:
                 weights = weights + rel_pos
             attn = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+        else:
+            # Memory-efficient path: (A₁ − λ·A₂)·V = A₁V − λ·A₂V, so the two softmax
+            # groups (even/odd interleaved heads after the (B,2h,..)→(B,h,2,..)
+            # reshape) become two independent attention-core calls — the N×N map is
+            # never materialized. Numerically identical softmax (fp32, full rows).
+            core = get_attention_core(self.attn_impl)
+            out1 = core(qs[:, 0::2], k[:, 0::2], v)
+            out2 = core(qs[:, 1::2], k[:, 1::2], v)
+            attn = out1 - lambda_full * out2
 
         attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)
         attn = attn * (1 - lambda_init)

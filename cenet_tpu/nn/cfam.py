@@ -156,8 +156,12 @@ class CCU(nn.Module):
         # grouped Conv1d(k=1, groups=C): z[b, c] = Σ_j w2[c, j, 0] · z1[b, c, j]
         w2r = w2[..., 0].astype(x.dtype)
         z = jnp.einsum("bcj,cj->bc", z1, w2r)
+        # Reference skips BatchNorm1d when batch==1 (cfam.py:260-261). The variables
+        # must exist regardless of the tracing batch size, so always instantiate the
+        # module and select the un-normalized path for b==1 (stats untouched).
+        z_bn = BatchNorm(c, name="bn")(z, train=(train and b > 1))
         if b > 1:
-            z = BatchNorm(c, name="bn")(z, train)
+            z = z_bn
         g = jax.nn.sigmoid(z.astype(jnp.float32)).astype(x.dtype)
         return x * g[:, None, None, :]
 

@@ -1,0 +1,72 @@
+"""Memory-efficient attention cores for TPU.
+
+The model's hot attention sites (SURVEY.md §3.1) run at N=3136 tokens with up to 32
+attention maps per example; materializing the full (B, H, N, N) map in fp32 is
+4.8 GB and OOMs the 16 GB v5e HBM in the backward pass. Two cores avoid that:
+
+* ``chunked_attention_core`` — pure-XLA ``lax.scan`` over query blocks. Each block
+  computes its full softmax row (K fits comfortably), so numerics are *identical*
+  to the naive path (same fp32 softmax, no online-max accumulation); the backward
+  rematerializes per-block (``jax.checkpoint``), so peak memory is O(N·chunk).
+* ``flash_attention_core`` — fused Pallas TPU kernel (``cenet_tpu/ops/pallas_attention.py``)
+  with a custom VJP, falling back to the chunked core off-TPU or for unsupported
+  shapes.
+
+Diff-attention composes on top: (A₁ − λA₂)·V = A₁V − λ·A₂V, so the two softmax
+groups are two core calls (see ``nn/attention.py``) — no fused N² tensor ever
+exists.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _softmax_fp32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    y = jax.nn.softmax(x.astype(jnp.float32), axis=axis)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_chunk",))
+def chunked_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_chunk: int = 512) -> jnp.ndarray:
+    """softmax(q @ kᵀ) @ v scanned over query blocks; q pre-scaled.
+
+    q: (B, H, N, D), k: (B, H, M, D), v: (B, H, M, Dv) → (B, H, N, Dv)
+    """
+    b, h, n, d = q.shape
+    dv = v.shape[-1]
+    c = min(q_chunk, n)
+    pad = (-n) % c
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((b, h, pad, d), q.dtype)], axis=2)
+    nblk = (n + pad) // c
+    qb = q.reshape(b, h, nblk, c, d).transpose(2, 0, 1, 3, 4)  # (nblk, B, H, c, d)
+
+    @jax.checkpoint
+    def block(q_blk):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk, k)
+        w = _softmax_fp32(s)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, v)
+
+    def body(_, q_blk):
+        return None, block(q_blk)
+
+    _, out = jax.lax.scan(body, None, qb)
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, nblk * c, dv)
+    return out[:, :, :n]
+
+
+def flash_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Fused Pallas attention on TPU; chunked-XLA fallback elsewhere."""
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu:
+        try:
+            from cenet_tpu.ops.pallas_attention import pallas_attention
+
+            return pallas_attention(q, k, v)
+        except Exception:
+            pass
+    return chunked_attention_core(q, k, v)

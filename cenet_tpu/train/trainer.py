@@ -1,0 +1,175 @@
+"""Jitted training engine: state, step function, DP sharding, grad accumulation.
+
+Replaces the reference's epoch loop (``main_synapse.py:253-325``): the entire
+optimizer step — forward, loss, backward, BN-stat update, SGD+schedule — is one
+XLA-compiled function with donated buffers. Mixed precision is a bf16 input policy
+(no GradScaler needed on TPU; fp32 islands live inside the layers). Gradient
+accumulation (a dead flag in the reference, ``main_synapse.py:64``) is implemented
+for real via ``lax.scan`` over microbatches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cenet_tpu.core.config import ExperimentConfig
+from cenet_tpu.core.mesh import batch_sharding, replicated
+from cenet_tpu.models.cenet import CENet, CENetOrg
+from cenet_tpu.train.losses import Criterion
+from cenet_tpu.train.optim import make_optimizer, make_schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def as_variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def build_model(cfg: ExperimentConfig):
+    m = cfg.model
+    if m.model_version == "cenet_org":
+        return CENetOrg(
+            input_channels=m.input_channels,
+            num_classes=m.num_classes,
+            scale_factors=m.scale_factors[:2],
+            num_heads=m.diffatt_num_heads,
+            encoder=m.encoder,
+            skip_mode=m.skip_mode,
+            attn_impl=m.attn_impl,
+            drop_path_rate=m.drop_path_rate,
+        )
+    return CENet(
+        input_channels=m.input_channels,
+        num_classes=m.num_classes,
+        scale_factors=m.scale_factors,
+        diffatt_num_heads=m.diffatt_num_heads,
+        encoder=m.encoder,
+        skip_mode=m.skip_mode,
+        dec_up_block=m.dec_up_block,
+        out_merge_mode=m.out_merge_mode,
+        out_up_block=m.out_up_block,
+        out_up_ks=m.out_up_ks,
+        skip_use_command=m.skip_use_command,
+        attn_impl=m.attn_impl,
+        drop_path_rate=m.drop_path_rate,
+    )
+
+
+class Trainer:
+    """Owns model, optimizer, and the compiled train/eval step functions."""
+
+    def __init__(self, cfg: ExperimentConfig, max_iterations: int, mesh=None, iters_per_epoch: int = 1):
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        self.criterion = Criterion(cfg.model.num_classes, cfg.train.loss_type, cfg.train.loss_weights)
+        self.schedule = make_schedule(
+            cfg.train.scheduler, cfg.train.base_lr, max_iterations,
+            cfg.train.max_epochs, iters_per_epoch,
+        )
+        self.tx = make_optimizer(cfg.train.optimizer, self.schedule, cfg.train.weight_decay, cfg.train.grad_clip)
+        self.mesh = mesh
+        self.compute_dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
+        self._train_step = None
+        self._eval_step = None
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_batch_shape) -> TrainState:
+        x = jnp.zeros(sample_batch_shape, jnp.float32)
+        variables = jax.jit(lambda k, x: self.model.init(k, x, train=False))(rng, x)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            state = jax.tree.map(lambda a: jax.device_put(a, rep), state)
+        return state
+
+    # -- compiled steps ------------------------------------------------------
+
+    def loss_fn(self, params, batch_stats, images, labels, rng):
+        out, mutated = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images.astype(self.compute_dtype),
+            train=True,
+            deterministic=False,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss = self.criterion(out.astype(jnp.float32), labels)
+        return loss, mutated["batch_stats"]
+
+    def make_train_step(self) -> Callable:
+        accum = max(self.cfg.train.grad_accum_steps, 1)
+
+        def train_step(state: TrainState, images, labels, rng):
+            if accum == 1:
+                (loss, new_bs), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, images, labels, rng
+                )
+            else:
+                # microbatch accumulation via scan: images (A, b, H, W, C)
+                def micro(carry, inp):
+                    g_acc, l_acc, bs = carry
+                    im, lb, r = inp
+                    (l, bs2), g = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                        state.params, bs, im, lb, r
+                    )
+                    g_acc = jax.tree.map(jnp.add, g_acc, g)
+                    return (g_acc, l_acc + l, bs2), None
+
+                zeros = jax.tree.map(jnp.zeros_like, state.params)
+                rngs = jax.random.split(rng, accum)
+                (grads, loss, new_bs), _ = jax.lax.scan(
+                    micro, (zeros, jnp.zeros((), jnp.float32), state.batch_stats), (images, labels, rngs)
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                loss = loss / accum
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_bs, new_opt, state.step + 1)
+            return new_state, loss
+
+        donate = (0,)
+        if self.mesh is not None:
+            # State shardings are inherited from the arrays themselves (replicated
+            # for pure DP; TP rules may shard attention weights over 'model') —
+            # constraining them here would silently undo tensor parallelism.
+            in_shardings = (None, batch_sharding(self.mesh), batch_sharding(self.mesh), None)
+            return jax.jit(train_step, donate_argnums=donate, in_shardings=in_shardings)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def make_eval_step(self) -> Callable:
+        def eval_step(state: TrainState, images):
+            out = self.model.apply(state.as_variables(), images.astype(self.compute_dtype), train=False)
+            return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
+
+        if self.mesh is not None:
+            return jax.jit(eval_step, in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+                           out_shardings=batch_sharding(self.mesh))
+        return jax.jit(eval_step)
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step
+
+    @property
+    def eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = self.make_eval_step()
+        return self._eval_step

@@ -208,3 +208,27 @@ def test_tokenize_view_quirk_matches_torch(rng):
     ref_back = torch.from_numpy(ref_tok).view(b, c, h, w).numpy()
     ours_back = np.asarray(untokenize_torch_view(jnp.asarray(ours_tok), h, w))
     np.testing.assert_array_equal(ours_back, to_nhwc(ref_back))
+
+
+def test_chunked_core_matches_naive(rng):
+    """The chunked attention core must match the naive fp32-softmax core exactly."""
+    from cenet_tpu.nn.attention import xla_attention_core
+    from cenet_tpu.ops.flash_attention import chunked_attention_core
+
+    q = jnp.asarray(rng.standard_normal((2, 4, 100, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 4, 100, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 100, 24)), jnp.float32)
+    ref = xla_attention_core(q, k, v)
+    got = chunked_attention_core(q, k, v, q_chunk=32)  # non-divisible → padding path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+
+def test_diffattn_chunked_matches_naive(rng):
+    e, heads, depth, n = 32, 4, 2, 49
+    x = rng.standard_normal((2, n, e)).astype(np.float32)
+    mod_naive = MultiheadDiffAttn(e, depth=depth, num_heads=heads, attn_impl="xla")
+    mod_chunk = MultiheadDiffAttn(e, depth=depth, num_heads=heads, attn_impl="chunked")
+    variables = mod_naive.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    ref = np.asarray(mod_naive.apply(variables, jnp.asarray(x)))
+    got = np.asarray(mod_chunk.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
