@@ -1,0 +1,62 @@
+"""Tests for the TPU ops package (XLA fallback paths on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from cenet_tpu.ops.rms_norm import rms_norm
+from cenet_tpu.ops.rotary import apply_rotary_emb, make_rotary_tables
+
+
+def test_rms_norm_matches_reference(rng):
+    x = rng.standard_normal((4, 49, 64)).astype(np.float32)
+    got = np.asarray(rms_norm(jnp.asarray(x), None, 1e-5))
+    ref = x / np.sqrt(np.mean(x**2, -1, keepdims=True) + 1e-5)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    w = rng.standard_normal((64,)).astype(np.float32)
+    got_w = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(w), 1e-5))
+    np.testing.assert_allclose(got_w, ref * w, atol=1e-5, rtol=1e-5)
+
+
+def test_rms_norm_grad_matches_autodiff(rng):
+    x = rng.standard_normal((2, 7, 16)).astype(np.float32)
+    w = rng.standard_normal((16,)).astype(np.float32) + 1.0
+
+    def f_custom(x, w):
+        return jnp.sum(jnp.square(rms_norm(x, w, 1e-5)))
+
+    def f_plain(x, w):
+        xf = x
+        y = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), -1, keepdims=True) + 1e-5) * w
+        return jnp.sum(jnp.square(y))
+
+    gx1, gw1 = jax.grad(f_custom, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    gx2, gw2 = jax.grad(f_plain, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=1e-4, rtol=1e-4)
+
+
+def test_rotary_interleaved_matches_torch_formula(rng):
+    b, h, n, d = 2, 4, 8, 16
+    x = rng.standard_normal((b, h, n, d)).astype(np.float32)
+    cos, sin = make_rotary_tables(n, d)
+    got = np.asarray(apply_rotary_emb(jnp.asarray(x), cos, sin, interleaved=True))
+    # reference formula: pairs (2i, 2i+1) rotated by angle theta_i at position t
+    c = np.asarray(cos)[None, None]
+    s = np.asarray(sin)[None, None]
+    ref = np.empty_like(x)
+    ref[..., 0::2] = x[..., 0::2] * c - x[..., 1::2] * s
+    ref[..., 1::2] = x[..., 1::2] * c + x[..., 0::2] * s
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_rotary_preserves_norm(rng):
+    b, h, n, d = 1, 2, 16, 32
+    x = rng.standard_normal((b, h, n, d)).astype(np.float32)
+    cos, sin = make_rotary_tables(n, d)
+    for inter in [True, False]:
+        y = np.asarray(apply_rotary_emb(jnp.asarray(x), cos, sin, interleaved=inter))
+        np.testing.assert_allclose(
+            np.linalg.norm(y, axis=-1), np.linalg.norm(x, axis=-1), rtol=1e-5
+        )
