@@ -113,9 +113,11 @@ class SynapseAug:
             image = image + rng.normal(0, 0.005 * 255, image.shape).astype(np.float32)
         elif op == 3:  # GaussianBlur(sigma=1.0)
             image = ndimage.gaussian_filter(image, 1.0)
-        elif op == 4:  # LinearContrast(0.5..1.5)
+        elif op == 4:  # LinearContrast(0.5..1.5); imgaug centers floats at 0.5,
+            # uint8-range data at 127.5
+            center = 0.5 if image.max() <= 1.5 else 127.5
             alpha = rng.uniform(0.5, 1.5)
-            image = 127.5 + alpha * (image - 127.5)
+            image = center + alpha * (image - center)
         elif op == 5:  # Affine scale x,y ∈ (0.5, 2)
             sx = rng.uniform(0.5, 2.0)
             sy = rng.uniform(0.5, 2.0)
