@@ -148,19 +148,43 @@ def run_train(cfg, args):
                 writer.scalar("info/criterion", lv, it)
                 writer.scalar("info/lr", float(trainer.schedule(it)), it)
             it += 1
-        # eval / checkpoint policy
-        if cfg.data.dataset in ("synapse",):
+        # eval / checkpoint policies (reference: main_synapse.py:297-309,
+        # main_acdc.py:270-283, main_skin.py:261-270)
+        if cfg.data.dataset == "synapse":
             if (epoch + 1) >= cfg.train.max_epochs // 2 and (epoch + 1) % cfg.train.eval_interval == 0:
                 ckpt.save(it, state, tag=f"epoch{epoch+1}")
-                log.info("saved snapshot at epoch %d", epoch + 1)
+                dice, hd = _volume_eval(trainer, state, te_ds, cfg)
+                writer.scalar("info/test_dice", dice, it)
+                writer.scalar("info/test_hd95", hd, it)
+                log.info("epoch %d snapshot: test dice %.4f hd95 %.4f", epoch + 1, dice, hd)
+        elif cfg.data.dataset == "acdc":
+            val_d = _acdc_val(trainer, state, vl_ds, cfg)
+            writer.scalar("info/val_dice", val_d, it)
+            log.info("epoch %d val dice %.4f", epoch, val_d)
+            if val_d > best_val:
+                best_val = val_d
+                dice, hd = _volume_eval(trainer, state, te_ds, cfg)
+                log.info("epoch %d test dice %.4f hd95 %.4f", epoch, dice, hd)
+                if dice > best_test:
+                    best_test = dice
+                    ckpt.save_best(state, {"val_dice": val_d, "test_dice": dice, "epoch": epoch})
+                    log.info("new best test dice %.4f (saved best)", dice)
         else:
             val_d = _quick_val(trainer, state, vl_ds, cfg)
             writer.scalar("info/val_dice", val_d, it)
             log.info("epoch %d val dice %.4f", epoch, val_d)
             if val_d > best_val:
                 best_val = val_d
-                ckpt.save_best(state, {"val_dice": val_d, "epoch": epoch})
-                log.info("new best val dice %.4f (saved)", val_d)
+                from cenet_tpu.evaluate.skin import skin_test
+
+                t_dice, t_acc, t_iou = skin_test(
+                    lambda x: trainer.eval_step(state, x), _skin_batches(te_ds, cfg.train.batch_size)
+                )
+                log.info("epoch %d test dice %.4f acc %.4f iou %.4f", epoch, t_dice, t_acc, t_iou)
+                if t_dice > best_test:
+                    best_test = t_dice
+                    ckpt.save_best(state, {"val_dice": val_d, "test_dice": t_dice, "epoch": epoch})
+                    log.info("new best test dice %.4f (saved best)", t_dice)
     ckpt.save(it, state, tag="final")
     log.info("training done; throughput %.1f img/s", meter.images_per_sec)
     if args.throughput:
@@ -168,22 +192,59 @@ def run_train(cfg, args):
     return state
 
 
-def _quick_val(trainer, state, vl_ds, cfg):
+def _skin_batches(ds, bs):
     import jax.numpy as jnp
 
-    from cenet_tpu.evaluate.skin import _batch_dice
+    n = len(ds)
+    for i in range(0, n, bs):
+        idxs = range(i, min(i + bs, n))
+        yield {
+            "image": jnp.stack([jnp.asarray(ds.get_eval(j)["image"]) for j in idxs]),
+            "label": np.stack([ds.get_eval(j)["label"] for j in idxs]),
+        }
+
+
+def _quick_val(trainer, state, vl_ds, cfg):
+    """Skin val: per-batch dice on argmax (utils_skin.py:97-113)."""
+    from cenet_tpu.evaluate.skin import skin_val
 
     if vl_ds is None:
         return 0.0
-    bs = cfg.train.batch_size
+    return skin_val(lambda x: trainer.eval_step(state, x), _skin_batches(vl_ds, cfg.train.batch_size))
+
+
+def _acdc_val(trainer, state, vl_ds, cfg):
+    """ACDC per-slice val dice at original resolution (metrics_eval.val_single_volume)."""
+    from cenet_tpu.evaluate.metrics import dice_coefficient
+    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig
+
+    inf = VolumeInferencer(
+        lambda x: trainer.eval_step(state, x),
+        VolumeInferenceConfig(img_size=cfg.data.img_size, chunk=cfg.train.batch_size,
+                              normalize=False, num_classes=cfg.model.num_classes),
+    )
     dices = []
-    n = len(vl_ds)
-    for i in range(0, n - n % bs, bs):
-        images = jnp.stack([jnp.asarray(vl_ds.get_eval(j)["image"]) for j in range(i, i + bs)])
-        labels = np.stack([vl_ds.get_eval(j)["label"] for j in range(i, i + bs)])
-        probs = trainer.eval_step(state, images)
-        dices.append(_batch_dice(np.asarray(probs).argmax(-1), labels))
+    for i in range(len(vl_ds)):
+        s = vl_ds.get_eval(i)
+        image, label = s["image"], s["label"]
+        if image.ndim == 2:
+            image, label = image[None], label[None]
+        pred = inf.predict_volume(image)
+        per_class = [dice_coefficient(pred == c, label == c) for c in range(1, cfg.model.num_classes)]
+        dices.append(float(np.mean(per_class)))
     return float(np.mean(dices)) if dices else 0.0
+
+
+def _volume_eval(trainer, state, te_ds, cfg):
+    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig, run_inference
+
+    inf = VolumeInferencer(
+        lambda x: trainer.eval_step(state, x),
+        VolumeInferenceConfig(img_size=cfg.data.img_size,
+                              normalize=(cfg.data.dataset == "synapse"),
+                              num_classes=cfg.model.num_classes),
+    )
+    return run_inference(inf, list(te_ds.volumes()), full_metrics=(cfg.data.dataset == "acdc"))
 
 
 def run_eval(cfg, args):

@@ -1,0 +1,68 @@
+"""End-to-end CLI training/eval on a synthetic Synapse micro-dataset (CPU)."""
+
+import json
+import os
+import types
+
+import h5py
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def micro_synapse(tmp_path):
+    root = tmp_path / "synapse"
+    lists = tmp_path / "lists"
+    os.makedirs(root)
+    os.makedirs(lists)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(4):
+        name = f"case0001_slice{i:03d}"
+        lab = np.zeros((96, 96), np.float32)
+        lab[20:60, 20:60] = 1.0
+        np.savez(root / f"{name}.npz", image=rng.random((96, 96)).astype(np.float32), label=lab)
+        names.append(name)
+    (lists / "train.txt").write_text("\n".join(names) + "\n")
+    with h5py.File(root / "case0008.npy.h5", "w") as f:
+        lab3 = np.zeros((2, 96, 96), np.float32)
+        lab3[:, 20:60, 20:60] = 1.0
+        f["image"] = rng.random((2, 96, 96)).astype(np.float32)
+        f["label"] = lab3
+    (lists / "test_vol.txt").write_text("case0008\n")
+    return str(root), str(lists)
+
+
+def test_train_and_eval_micro_synapse(micro_synapse, tmp_path):
+    from cenet_tpu.cli.main import build_argparser, make_config, run_eval, run_train, snapshot_path
+
+    root, lists = micro_synapse
+    out = str(tmp_path / "out")
+    argv = [
+        "train", "--preset", "synapse", "--root_path", root, "--list_dir", lists,
+        "--output_dir", out, "--max_epochs", "1", "--batch_size", "2", "--no-amp",
+    ]
+    args = build_argparser().parse_args(argv)
+    cfg = make_config(args)
+    # shrink for CPU: small encoder, small image, 2 classes, no eval-in-loop
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=2, scale_factors=(0.8, 0.4),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        data=cfg.data.__class__(dataset="synapse", root_path=root, list_dir=lists, img_size=64),
+    )
+    state = run_train(cfg, args)
+    snap = snapshot_path(cfg)
+    assert os.path.exists(os.path.join(snap, "log_train.txt"))
+    finals = [f for f in os.listdir(snap) if f.startswith("final")]
+    assert finals, os.listdir(snap)
+
+    # eval from the saved final checkpoint
+    args_eval = build_argparser().parse_args(
+        argv[:1] + ["--preset", "synapse", "--root_path", root, "--list_dir", lists,
+                    "--output_dir", out, "--checkpoint", os.path.join(snap, finals[0])]
+    )
+    args_eval.mode = "eval"
+    run_eval(cfg, args_eval)
+    assert os.path.exists(os.path.join(snap, "log_eval.txt"))
