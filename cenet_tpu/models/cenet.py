@@ -35,6 +35,7 @@ class CENet(nn.Module):
     skip_use_command: str = "dat-fea"
     attn_impl: str = "chunked"
     drop_path_rate: float = 0.1
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, deterministic: bool = True) -> jnp.ndarray:
@@ -43,7 +44,7 @@ class CENet(nn.Module):
 
         backbone, channels = make_encoder(
             self.encoder, input_channels=y.shape[-1], attn_impl=self.attn_impl,
-            drop_path_rate=self.drop_path_rate, name="backbone",
+            drop_path_rate=self.drop_path_rate, name="backbone", remat=self.remat,
         )
         if self.encoder.startswith("pvt"):
             x1, x2, x3, x4 = backbone(y, deterministic)

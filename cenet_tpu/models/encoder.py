@@ -43,6 +43,7 @@ def make_encoder(
     attn_impl: str = "xla",
     drop_path_rate: float = 0.1,
     name: str = None,
+    remat: bool = False,
 ) -> Tuple[nn.Module, List[int]]:
     """Build the backbone module.
 
@@ -51,7 +52,7 @@ def make_encoder(
     CENet replicates grayscale inputs (``net.py:55``).
     """
     if encoder in PVT_VARIANTS:
-        return make_pvt(encoder, attn_impl=attn_impl, drop_path_rate=drop_path_rate, name=name), ENCODER_CHANNELS[encoder]
+        return make_pvt(encoder, attn_impl=attn_impl, drop_path_rate=drop_path_rate, name=name, remat=remat), ENCODER_CHANNELS[encoder]
     if encoder in RESNET_VARIANTS:
         return make_resnet(encoder, in_chans=input_channels, name=name), ENCODER_CHANNELS[encoder]
     return make_pvt("pvt_v2_b2", attn_impl=attn_impl, drop_path_rate=drop_path_rate, name=name), ENCODER_CHANNELS["pvt_v2_b2"]

@@ -128,6 +128,7 @@ class PVTv2(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     attn_impl: str = "xla"
+    remat: bool = False  # rematerialize each transformer block (jax.checkpoint)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -135,12 +136,13 @@ class PVTv2(nn.Module):
         cur = 0
         outs = []
         in_chans = x.shape[-1]
+        block_cls = nn.remat(PVTBlock, static_argnums=(2, 3, 4)) if self.remat else PVTBlock
         patch_cfg = [(7, 4, in_chans), (3, 2, self.embed_dims[0]), (3, 2, self.embed_dims[1]), (3, 2, self.embed_dims[2])]
         for stage in range(4):
             ps, st, ic = patch_cfg[stage]
             tokens, H, W = OverlapPatchEmbed(ps, st, ic, self.embed_dims[stage], name=f"patch_embed{stage+1}")(x if stage == 0 else outs[-1])
             for i in range(self.depths[stage]):
-                tokens = PVTBlock(
+                tokens = block_cls(
                     self.embed_dims[stage],
                     num_heads=self.num_heads[stage],
                     mlp_ratio=self.mlp_ratios[stage],
@@ -169,7 +171,7 @@ PVT_VARIANTS = {
 }
 
 
-def make_pvt(variant: str, attn_impl: str = "xla", drop_path_rate: float = 0.1, **kw) -> PVTv2:
+def make_pvt(variant: str, attn_impl: str = "xla", drop_path_rate: float = 0.1, remat: bool = False, **kw) -> PVTv2:
     cfg = dict(PVT_VARIANTS[variant])
     cfg.setdefault("mlp_ratios", (8, 8, 4, 4))
     return PVTv2(
@@ -181,5 +183,6 @@ def make_pvt(variant: str, attn_impl: str = "xla", drop_path_rate: float = 0.1, 
         qkv_bias=True,
         drop_path_rate=drop_path_rate,
         attn_impl=attn_impl,
+        remat=remat,
         **kw,
     )

@@ -84,3 +84,19 @@ def make_optimizer(
     if grad_clip and grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
+
+
+def freeze_subtree(tx: optax.GradientTransformation, frozen_prefix: str) -> optax.GradientTransformation:
+    """Zero updates for parameters under ``frozen_prefix`` (reference ``freeze_bb``,
+    ``encoder.py:67-73,82-84`` — requires_grad=False on the backbone)."""
+
+    def label_fn(params):
+        def lab(path, _):
+            top = str(getattr(path[0], "key", path[0]))
+            return "frozen" if top == frozen_prefix else "train"
+
+        import jax
+
+        return jax.tree_util.tree_map_with_path(lab, params)
+
+    return optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_fn)

