@@ -232,3 +232,17 @@ def test_diffattn_chunked_matches_naive(rng):
     ref = np.asarray(mod_naive.apply(variables, jnp.asarray(x)))
     got = np.asarray(mod_chunk.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_diffattn_gqa_repeat_kv(rng):
+    """GQA: kv heads < q heads via repeat_kv (reference :17-26,51-52)."""
+    e, heads, kv_heads, n = 32, 4, 2, 25
+    x = rng.standard_normal((1, n, e)).astype(np.float32)
+    mod = MultiheadDiffAttn(e, depth=1, num_heads=heads, num_kv_heads=kv_heads, attn_impl="xla")
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # k/v projections are embed//n_rep wide
+    assert v["params"]["k_proj"]["weight"].shape == (e, e // 2)
+    assert v["params"]["v_proj"]["weight"].shape == (e, e // 2)
+    out = mod.apply(v, jnp.asarray(x))
+    assert out.shape == (1, n, e)
+    assert np.isfinite(np.asarray(out)).all()

@@ -184,3 +184,31 @@ def test_uptconv_matches_torch(rng):
     ref = tconv(torch.from_numpy(to_nchw(x))).detach().numpy()
     assert ours.shape[1] == 28
     np.testing.assert_allclose(ours, to_nhwc(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_dseb_use_command_variants(rng):
+    """All reference use_command modes produce valid outputs (dseb.py:79-165)."""
+    from cenet_tpu.nn.dseb import DSEBlock
+
+    skip = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    dec = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    for cmd in ["no", "dat", "fea", "dog", "dat-fea", "dat-dog", "seq-dat-fea"]:
+        mod = DSEBlock(16, scale_factors=(0.8, 0.4), num_heads=2, input_size=8,
+                       mode="cat", use_command=cmd)
+        v = mod.init(jax.random.PRNGKey(0), skip, dec)
+        out = mod.apply(v, skip, dec)
+        assert out.shape == skip.shape, cmd
+        assert np.isfinite(np.asarray(out)).all(), cmd
+        if cmd == "no":
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(skip))
+
+
+def test_up_block_factory_all_kinds(rng):
+    from cenet_tpu.nn.blocks import make_up_block
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 6)), jnp.float32)
+    for kind in ["uprb", "eucb", "upcn", "uptc"]:
+        blk = make_up_block(kind, 6, 4, 3)
+        v = blk.init(jax.random.PRNGKey(0), x, train=False)
+        y = blk.apply(v, x, train=False)
+        assert y.shape == (1, 16, 16, 4), kind
