@@ -60,3 +60,35 @@ def test_rotary_preserves_norm(rng):
         np.testing.assert_allclose(
             np.linalg.norm(y, axis=-1), np.linalg.norm(x, axis=-1), rtol=1e-5
         )
+
+
+def test_pallas_attention_interpret_matches_naive(rng):
+    """Pallas kernel (interpret mode on CPU) vs the naive core, incl. padding paths."""
+    from cenet_tpu.nn.attention import xla_attention_core
+    from cenet_tpu.ops.pallas_attention import _pallas_attention_fwd_impl
+
+    for (b, h, n, m, d, dv) in [(2, 4, 100, 100, 16, 24), (1, 2, 196, 49, 20, 40), (1, 1, 64, 64, 8, 16)]:
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        ref = xla_attention_core(q, k, v)
+        got = _pallas_attention_fwd_impl(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5), (b, h, n, m, d, dv)
+
+
+def test_pallas_attention_grad_path(rng):
+    from cenet_tpu.ops import pallas_attention as pa
+
+    # on CPU the custom-vjp fwd must go through interpret=False... patch impl to interpret
+    q = jnp.asarray(rng.standard_normal((1, 2, 32, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 32, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 32, 16)), jnp.float32)
+
+    from cenet_tpu.nn.attention import xla_attention_core
+
+    g_ref = jax.grad(lambda q: jnp.sum(xla_attention_core(q, k, v) ** 2))(q)
+    # bwd of pallas_attention uses the chunked core's vjp — compare directly
+    from cenet_tpu.ops.flash_attention import chunked_attention_core
+
+    g_chunk = jax.grad(lambda q: jnp.sum(chunked_attention_core(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_ref), atol=1e-5, rtol=1e-5)
