@@ -36,6 +36,7 @@ def build_argparser():
     p.add_argument("--attn_impl", default=None, choices=[None, "xla", "chunked", "pallas"])
     p.add_argument("--eval_interval", type=int, default=None)
     p.add_argument("--throughput", action="store_true")
+    p.add_argument("--resume", action="store_true", help="resume from the latest snapshot in the output dir")
     return p
 
 
@@ -135,7 +136,27 @@ def run_train(cfg, args):
     best_val = best_test = 0.0
     rng = jax.random.PRNGKey(cfg.train.seed)
     it = 0
-    for epoch in range(cfg.train.max_epochs):
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        # real step-level resume (the reference's --resume flag was dead,
+        # main_synapse.py:63)
+        import glob as _glob
+
+        cands = sorted(_glob.glob(os.path.join(snap, "*_*.npz")), key=os.path.getmtime)
+        if cands:
+            from cenet_tpu.core.checkpoint import _load_npz
+
+            tree = _load_npz(cands[-1])
+            state = dataclasses.replace(
+                state,
+                params=jax.device_put(tree["params"], dev),
+                batch_stats=jax.device_put(tree["batch_stats"], dev),
+                step=jax.device_put(jnp.asarray(tree["step"]), dev),
+            )
+            it = int(tree["step"])
+            start_epoch = it // max(iters_per_epoch, 1)
+            log.info("resumed from %s at iter %d (epoch %d)", cands[-1], it, start_epoch)
+    for epoch in range(start_epoch, cfg.train.max_epochs):
         for batch in loader.epoch(epoch):
             images = jax.device_put(jnp.asarray(batch["image"]), dev)
             labels = jax.device_put(jnp.asarray(batch["label"]), dev)

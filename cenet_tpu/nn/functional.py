@@ -203,7 +203,15 @@ def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU — torch ``nn.GELU()`` default, unlike jax.nn.gelu's tanh approx."""
+    """GELU with torch ``nn.GELU()`` (exact erf) semantics in fp32.
+
+    Under the bf16 training policy the tanh approximation is used instead: its max
+    deviation from erf-GELU (~1e-3 absolute) is below bf16 resolution, and erf is
+    markedly more expensive on the TPU VPU (measured ~0.5 ms per 12.8M-element
+    tensor). fp32 paths (parity eval, checkpoint comparison) keep exact erf.
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
