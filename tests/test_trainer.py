@@ -113,3 +113,46 @@ def test_grad_accum_matches_single_batch():
     labels = jnp.asarray(np.random.default_rng(1).integers(0, 4, (2, 2, 64, 64)), jnp.int32)
     state, loss = tr.train_step(state, images, labels, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
+
+
+def test_dp_training_matches_single_device():
+    """2 train steps on the 8-device DP mesh must match single-device training on
+    the same global batch (validates sync-BN semantics + gradient reduction)."""
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("acdc")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=4, scale_factors=(1.0, 0.5),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        train=cfg.train.__class__(
+            max_epochs=1, batch_size=8, base_lr=0.01, optimizer="sgd",
+            scheduler="poly", loss_type="ce", loss_weights="1.0", amp=False,
+        ),
+    )
+    images = jnp.asarray(np.random.default_rng(0).standard_normal((8, 64, 64, 1)), jnp.float32)
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, 4, (8, 64, 64)), jnp.int32)
+
+    losses = {}
+    params_out = {}
+    for name, mesh in [("single", None), ("dp8", make_mesh(MeshConfig(data=8, model=1)))]:
+        tr = Trainer(cfg, max_iterations=10, mesh=mesh)
+        state = tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+        ims, labs = images, labels
+        if mesh is not None:
+            b = shard_batch(mesh, {"i": images, "l": labels})
+            ims, labs = b["i"], b["l"]
+        ls = []
+        for i in range(2):
+            state, loss = tr.train_step(state, ims, labs, jax.random.PRNGKey(5 + i))
+            ls.append(float(loss))
+        losses[name] = ls
+        params_out[name] = jax.tree.map(np.asarray, state.params)
+
+    np.testing.assert_allclose(losses["single"], losses["dp8"], rtol=2e-4)
+    flat_s = jax.tree.leaves(params_out["single"])
+    flat_d = jax.tree.leaves(params_out["dp8"])
+    max_diff = max(np.max(np.abs(a - b)) for a, b in zip(flat_s, flat_d))
+    assert max_diff < 5e-4, f"DP parameters diverged from single-device: {max_diff}"
