@@ -92,3 +92,24 @@ def test_pallas_attention_grad_path(rng):
 
     g_chunk = jax.grad(lambda q: jnp.sum(chunked_attention_core(q, k, v) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_ref), atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_attention_bwd_interpret_matches_autodiff(rng):
+    """Flash backward kernel (interpret) vs autodiff of the naive core."""
+    from cenet_tpu.nn.attention import xla_attention_core
+    from cenet_tpu.ops.pallas_attention import _pallas_attention_bwd_impl
+
+    for (b, h, n, m, d, dv) in [(1, 2, 64, 64, 16, 16), (1, 1, 100, 49, 8, 24), (2, 2, 196, 196, 20, 40)]:
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, h, n, dv)), jnp.float32)
+
+        def f(q, k, v):
+            return jnp.sum(xla_attention_core(q, k, v) * g)
+
+        dq_ref, dk_ref, dv_ref = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        dq, dk, dv = _pallas_attention_bwd_impl(q, k, v, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4, rtol=2e-4)
