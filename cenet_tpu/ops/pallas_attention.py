@@ -1,13 +1,17 @@
-"""Fused Pallas TPU attention kernel.
+"""Fused Pallas TPU attention kernels (forward + flash backward).
 
 Shapes in this model are short-sequence / skinny-head (N ≤ 3136, D ∈ {8..64}): the
 whole K and V for one (batch, head) fit in VMEM (≤ 0.8 MB each at D padded to 128),
-so the kernel streams query blocks and computes each block's *full* softmax row in
+so the forward streams query blocks and computes each block's *full* softmax row in
 one shot — no online max/sum bookkeeping, numerics identical to the reference
-softmax — while touching HBM once per operand.
+softmax — while touching HBM once per operand. The forward also emits the row
+logsumexp L, so the backward never re-normalizes.
 
-Backward runs the memory-efficient chunked XLA core under ``jax.vjp`` (recompute
-strategy); a fully fused backward kernel is a follow-up optimization.
+Backward is the standard flash decomposition into two kernels sized to VMEM:
+  * dq kernel, grid (B·H, N/bq):  P = exp(S − L); dP = dO·Vᵀ; dS = P∘(dP − Δ);
+    dq = dS·K, with Δ = rowsum(dO ∘ O) computed outside (cheap XLA elementwise).
+  * dkv kernel, grid (B·H, M/bk): dK_blk = dSᵀ_blk·Q, dV_blk = Pᵀ_blk·dO with the
+    full Q/dO streams resident in VMEM per (b,h).
 
 Used via ``attn_impl='pallas'`` (see ``cenet_tpu/nn/attention.py``); validated
 against the naive core in tests (interpret mode on CPU, numerically on TPU).
@@ -22,30 +26,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, m_valid: int):
-    q = q_ref[0]  # (bq, Dp)
-    k = k_ref[0]  # (Mp, Dp)
-    v = v_ref[0]  # (Mp, DVp)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, Mp)
-    mp = k.shape[0]
-    if m_valid < mp:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < m_valid, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+_NEG_INF = float("-inf")
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = False):
+def _masked_logits(s, m_valid):
+    mp = s.shape[-1]
+    if m_valid < mp:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+        s = jnp.where(col < m_valid, s, _NEG_INF)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, m_valid: int):
+    q = q_ref[0]  # (bq, Dp)
+    k = k_ref[0]  # (Mp, Dp)
+    v = v_ref[0]  # (Mp, DVp)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = _masked_logits(s, m_valid)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+    l_ref[0] = (m + jnp.log(denom))[:, 0]  # logsumexp per row, fp32
+
+
+def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = False, with_lse: bool = False):
     b, h, n, d = q.shape
     m = k.shape[2]
     dv = v.shape[-1]
@@ -59,108 +75,134 @@ def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = Fa
     kf = jnp.zeros((b * h, mp, dp), k.dtype).at[:, :m, :d].set(k.reshape(b * h, m, d))
     vf = jnp.zeros((b * h, mp, dvp), v.dtype).at[:, :m, :dv].set(v.reshape(b * h, m, dv))
 
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, m_valid=m),
-        out_shape=jax.ShapeDtypeStruct((b * h, np_, dvp), q.dtype),
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, m_valid=m),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, np_, dvp), q.dtype),
+            jax.ShapeDtypeStruct((b * h, np_), jnp.float32),
+        ),
         grid=(b * h, np_ // bq),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mp, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :n, :dv].reshape(b, h, n, dv)
+    o = out[:, :n, :dv].reshape(b, h, n, dv)
+    if with_lse:
+        return o, lse[:, :n].reshape(b, h, n)
+    return o
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, m_valid: int, block_q: int):
-    """Flash backward for one (batch, head): recompute P per q-block; accumulate
-    dK/dV in fp32 VMEM scratch; dQ written per block.
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
 
-    dV = Pᵀ dO; dP = dO Vᵀ; dS = P∘(dP − rowsum(dP∘P)); dQ = dS K; dK = dSᵀ Q.
-    """
+
+def _attn_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref, *, m_valid: int):
+    q = q_ref[0]  # (bq, Dp)
     k = k_ref[0]  # (Mp, Dp)
     v = v_ref[0]  # (Mp, DVp)
-    np_ = q_ref.shape[1]
-    mp = k.shape[0]
-
-    dk_acc[...] = jnp.zeros_like(dk_acc)
-    dv_acc[...] = jnp.zeros_like(dv_acc)
-
-    n_blocks = np_ // block_q
-
-    def body(i, _):
-        qb = q_ref[0, pl.ds(i * block_q, block_q), :]
-        dob = do_ref[0, pl.ds(i * block_q, block_q), :]
-        s = jax.lax.dot_general(qb, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        if m_valid < mp:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < m_valid, s, -jnp.inf)
-        p = jax.nn.softmax(s, axis=-1)  # (bq, Mp) fp32
-        dp_ = jax.lax.dot_general(
-            dob, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, Mp)
-        d = jnp.sum(dp_ * p, axis=-1, keepdims=True)
-        ds = p * (dp_ - d)
-        ds_l = ds.astype(qb.dtype)
-        p_l = p.astype(qb.dtype)
-        dq_ref[0, pl.ds(i * block_q, block_q), :] = jax.lax.dot_general(
-            ds_l, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(dq_ref.dtype)
-        dk_acc[...] += jax.lax.dot_general(
-            ds_l, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dv_acc[...] += jax.lax.dot_general(
-            p_l, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return _
-
-    jax.lax.fori_loop(0, n_blocks, body, None)
-    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+    do = do_ref[0]  # (bq, DVp)
+    lse = l_ref[0][:, None]  # (bq, 1)
+    delta = delta_ref[0][:, None]  # (bq, 1)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s = _masked_logits(s, m_valid)
+    p = jnp.exp(s - lse)
+    dp_ = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp_ - delta)
+    dq = jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _pallas_attention_bwd_impl(q, k, v, g, block_q: int = 128, interpret: bool = False):
+def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dk_ref, dv_ref, *, n_valid: int):
+    q = q_ref[0]  # (Np, Dp)
+    kb = k_ref[0]  # (bk, Dp)
+    vb = v_ref[0]  # (bk, DVp)
+    do = do_ref[0]  # (Np, DVp)
+    lse = l_ref[0][:, None]  # (Np, 1)
+    delta = delta_ref[0][:, None]
+    # (Np, bk) logits of the full query stream against this K block
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # padded query rows carry lse=0 ⇒ exp(s) would be garbage; zero them explicitly
+    np_ = s.shape[0]
+    if n_valid < np_:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(row < n_valid, jnp.exp(s - lse), 0.0)
+    else:
+        p = jnp.exp(s - lse)
+    dp_ = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # (Np, bk)
+    ds = p * (dp_ - delta)
+    dk = jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 256, interpret: bool = False):
     b, h, n, d = q.shape
     m = k.shape[2]
     dv_dim = v.shape[-1]
     dp = _round_up(d, 128)
     dvp = _round_up(dv_dim, 128)
-    mp = _round_up(m, 128)
     bq = min(block_q, _round_up(n, 128))
     np_ = _round_up(n, bq)
+    bk = min(block_k, _round_up(m, 128))
+    mp = _round_up(_round_up(m, 128), bk)
 
-    qf = jnp.zeros((b * h, np_, dp), q.dtype).at[:, :n, :d].set(q.reshape(b * h, n, d))
-    kf = jnp.zeros((b * h, mp, dp), k.dtype).at[:, :m, :d].set(k.reshape(b * h, m, d))
-    vf = jnp.zeros((b * h, mp, dvp), v.dtype).at[:, :m, :dv_dim].set(v.reshape(b * h, m, dv_dim))
-    gf = jnp.zeros((b * h, np_, dvp), g.dtype).at[:, :n, :dv_dim].set(g.reshape(b * h, n, dv_dim))
+    bh = b * h
+    qf = jnp.zeros((bh, np_, dp), q.dtype).at[:, :n, :d].set(q.reshape(bh, n, d))
+    kf = jnp.zeros((bh, mp, dp), k.dtype).at[:, :m, :d].set(k.reshape(bh, m, d))
+    vf = jnp.zeros((bh, mp, dvp), v.dtype).at[:, :m, :dv_dim].set(v.reshape(bh, m, dv_dim))
+    gf = jnp.zeros((bh, np_, dvp), g.dtype).at[:, :n, :dv_dim].set(g.reshape(bh, n, dv_dim))
+    lf = jnp.zeros((bh, np_), jnp.float32).at[:, :n].set(lse.reshape(bh, n))
+    # Δ = rowsum(dO ∘ O) — the flash-backward substitution for rowsum(dP ∘ P)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(bh, n)
+    df = jnp.zeros((bh, np_), jnp.float32).at[:, :n].set(delta)
 
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, m_valid=m, block_q=bq),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, np_, dp), q.dtype),
-            jax.ShapeDtypeStruct((b * h, mp, dp), k.dtype),
-            jax.ShapeDtypeStruct((b * h, mp, dvp), v.dtype),
-        ),
-        grid=(b * h,),
+    dq = pl.pallas_call(
+        functools.partial(_attn_dq_kernel, m_valid=m),
+        out_shape=jax.ShapeDtypeStruct((bh, np_, dp), q.dtype),
+        grid=(bh, np_ // bq),
         in_specs=[
-            pl.BlockSpec((1, np_, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, dvp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, dvp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lf, df)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_dkv_kernel, n_valid=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, mp, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, mp, dvp), v.dtype),
+        ),
+        grid=(bh, mp // bk),
+        in_specs=[
+            pl.BlockSpec((1, np_, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, np_, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, dvp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((mp, dp), jnp.float32),
-            pltpu.VMEM((mp, dvp), jnp.float32),
-        ],
         interpret=interpret,
-    )(qf, kf, vf, gf)
+    )(qf, kf, vf, gf, lf, df)
+
     dq = dq[:, :n, :d].reshape(b, h, n, d)
     dk = dk[:, :m, :d].reshape(b, h, m, d)
     dv = dv[:, :m, :dv_dim].reshape(b, h, m, dv_dim)
@@ -174,12 +216,13 @@ def pallas_attention(q, k, v):
 
 
 def _fwd(q, k, v):
-    return _pallas_attention_fwd_impl(q, k, v), (q, k, v)
+    o, lse = _pallas_attention_fwd_impl(q, k, v, with_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _bwd(res, g):
-    q, k, v = res
-    return _pallas_attention_bwd_impl(q, k, v, g)
+    q, k, v, o, lse = res
+    return _pallas_attention_bwd_impl(q, k, v, o, lse, g)
 
 
 pallas_attention.defvjp(_fwd, _bwd)

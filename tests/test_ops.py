@@ -109,7 +109,10 @@ def test_pallas_attention_bwd_interpret_matches_autodiff(rng):
             return jnp.sum(xla_attention_core(q, k, v) * g)
 
         dq_ref, dk_ref, dv_ref = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
-        dq, dk, dv = _pallas_attention_bwd_impl(q, k, v, g, interpret=True)
+        from cenet_tpu.ops.pallas_attention import _pallas_attention_fwd_impl
+
+        o, lse = _pallas_attention_fwd_impl(q, k, v, interpret=True, with_lse=True)
+        dq, dk, dv = _pallas_attention_bwd_impl(q, k, v, o, lse, g, interpret=True)
         np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4, rtol=2e-4)
