@@ -81,6 +81,24 @@ def shard_params(mesh: Mesh, params, rules=None):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def shard_host_local_batch(mesh: Mesh, batch):
+    """Multi-host batch placement: each host contributes its local shard of the
+    global batch (dim 0), assembled into one global array sharded over 'data'.
+
+    On a single host this is identical to ``shard_batch``. On multi-host slices the
+    loader feeds only ``global_batch / process_count`` samples per host and the
+    assembly rides DCN-free (data stays on the host's own devices).
+    """
+    sh = batch_sharding(mesh)
+
+    def place(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(place, batch)
+
+
 # Tensor-parallel rules for the diff-attention / SRA projections: shard the output
 # features of q/k/v (head dim) and the input features of the out-projection over
 # 'model'. GSPMD then runs per-device head groups with an all-reduce on out_proj.

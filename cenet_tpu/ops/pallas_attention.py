@@ -58,7 +58,8 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, m_valid: int):
     p = e / denom
     o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
-    l_ref[0] = (m + jnp.log(denom))[:, 0]  # logsumexp per row, fp32
+    # logsumexp per row, broadcast over an 8-lane minor dim (Mosaic tile alignment)
+    l_ref[0] = jnp.broadcast_to(m + jnp.log(denom), (q.shape[0], 8))
 
 
 def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = False, with_lse: bool = False):
@@ -79,7 +80,7 @@ def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = Fa
         functools.partial(_attn_fwd_kernel, m_valid=m),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, np_, dvp), q.dtype),
-            jax.ShapeDtypeStruct((b * h, np_), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, np_, 8), jnp.float32),
         ),
         grid=(b * h, np_ // bq),
         in_specs=[
@@ -89,13 +90,13 @@ def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = Fa
         ],
         out_specs=(
             pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(qf, kf, vf)
     o = out[:, :n, :dv].reshape(b, h, n, dv)
     if with_lse:
-        return o, lse[:, :n].reshape(b, h, n)
+        return o, lse[:, :n, 0].reshape(b, h, n)
     return o
 
 
@@ -109,8 +110,8 @@ def _attn_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref, *, m_
     k = k_ref[0]  # (Mp, Dp)
     v = v_ref[0]  # (Mp, DVp)
     do = do_ref[0]  # (bq, DVp)
-    lse = l_ref[0][:, None]  # (bq, 1)
-    delta = delta_ref[0][:, None]  # (bq, 1)
+    lse = l_ref[0][:, 0:1]  # (bq, 1)
+    delta = delta_ref[0][:, 0:1]  # (bq, 1)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     s = _masked_logits(s, m_valid)
     p = jnp.exp(s - lse)
@@ -125,8 +126,8 @@ def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dk_ref, dv_r
     kb = k_ref[0]  # (bk, Dp)
     vb = v_ref[0]  # (bk, DVp)
     do = do_ref[0]  # (Np, DVp)
-    lse = l_ref[0][:, None]  # (Np, 1)
-    delta = delta_ref[0][:, None]
+    lse = l_ref[0][:, 0:1]  # (Np, 1)
+    delta = delta_ref[0][:, 0:1]
     # (Np, bk) logits of the full query stream against this K block
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     # padded query rows carry lse=0 ⇒ exp(s) would be garbage; zero them explicitly
@@ -160,10 +161,10 @@ def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: 
     kf = jnp.zeros((bh, mp, dp), k.dtype).at[:, :m, :d].set(k.reshape(bh, m, d))
     vf = jnp.zeros((bh, mp, dvp), v.dtype).at[:, :m, :dv_dim].set(v.reshape(bh, m, dv_dim))
     gf = jnp.zeros((bh, np_, dvp), g.dtype).at[:, :n, :dv_dim].set(g.reshape(bh, n, dv_dim))
-    lf = jnp.zeros((bh, np_), jnp.float32).at[:, :n].set(lse.reshape(bh, n))
+    lf = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(lse.reshape(bh, n, 1))
     # Δ = rowsum(dO ∘ O) — the flash-backward substitution for rowsum(dP ∘ P)
-    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(bh, n)
-    df = jnp.zeros((bh, np_), jnp.float32).at[:, :n].set(delta)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(bh, n, 1)
+    df = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(delta)
 
     dq = pl.pallas_call(
         functools.partial(_attn_dq_kernel, m_valid=m),
@@ -174,8 +175,8 @@ def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: 
             pl.BlockSpec((1, mp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mp, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -193,8 +194,8 @@ def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: 
             pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
