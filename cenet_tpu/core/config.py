@@ -30,7 +30,7 @@ class ModelConfig:
     out_up_block: str = "upcn"
     out_up_ks: int = 3
     drop_path_rate: float = 0.1
-    attn_impl: str = "chunked"  # 'xla' (naive parity) | 'chunked' | 'pallas'
+    attn_impl: str = "pallas"  # 'xla' (naive parity) | 'chunked' | 'pallas' (chunked fallback off-TPU)
 
 
 @dataclass(frozen=True)

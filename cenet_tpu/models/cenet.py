@@ -33,7 +33,7 @@ class CENet(nn.Module):
     out_up_block: str = "eucb"
     out_up_ks: int = 3
     skip_use_command: str = "dat-fea"
-    attn_impl: str = "chunked"
+    attn_impl: str = "pallas"
     drop_path_rate: float = 0.1
     remat: bool = False
 
@@ -82,7 +82,7 @@ class CENetOrg(nn.Module):
     num_heads: Sequence[int] = (2, 2, 2)
     encoder: str = "pvt_v2_b2"
     skip_mode: str = "cat"
-    attn_impl: str = "chunked"
+    attn_impl: str = "pallas"
     drop_path_rate: float = 0.1
 
     @nn.compact

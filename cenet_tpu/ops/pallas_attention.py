@@ -55,9 +55,10 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, m_valid: int):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    # deferred normalization: divide the (bq, DVp) output instead of the (bq, Mp)
+    # probability matrix — one fewer full-width VPU pass
+    o = jax.lax.dot_general(e.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
     # logsumexp per row, broadcast over an 8-lane minor dim (Mosaic tile alignment)
     l_ref[0] = jnp.broadcast_to(m + jnp.log(denom), (q.shape[0], 8))
 
