@@ -91,3 +91,25 @@ def test_cenet_deterministic_eval(small_input):
     y1 = model.apply(variables, small_input, train=False)
     y2 = model.apply(variables, small_input, train=False)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_cenet_attn_impl_consistency(small_input):
+    """pallas (CPU fallback=chunked) and chunked must agree with naive xla."""
+    common = dict(input_channels=1, num_classes=2, diffatt_num_heads=(2, 2, 2),
+                  drop_path_rate=0.0)
+    m_naive = CENet(attn_impl="xla", **common)
+    m_chunk = CENet(attn_impl="chunked", **common)
+    m_pallas = CENet(attn_impl="pallas", **common)
+    v = m_naive.init(KEY, small_input, train=False)
+    y_naive = np.asarray(m_naive.apply(v, small_input, train=False))
+    y_chunk = np.asarray(m_chunk.apply(v, small_input, train=False))
+    y_pallas = np.asarray(m_pallas.apply(v, small_input, train=False))
+    np.testing.assert_allclose(y_chunk, y_naive, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(y_pallas, y_naive, atol=2e-4, rtol=1e-3)
+
+
+def test_cenet_resnet_encoder(small_input):
+    model = CENet(input_channels=1, num_classes=4, encoder="resnet18", diffatt_num_heads=(2, 2, 2))
+    variables = model.init(KEY, small_input, train=False)
+    y = model.apply(variables, small_input, train=False)
+    assert y.shape == (1, 224, 224, 4)
