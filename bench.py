@@ -51,17 +51,23 @@ def main():
     # NOTE: on the axon tunnel, block_until_ready does NOT synchronize; the only
     # reliable fence is a host transfer. All timing below chains computations and
     # syncs once via float() — per-sync tunnel RTT (~30 ms) is amortized.
-    step = tr.train_step
+    # Headline metric: sustained training throughput via the multi-step path
+    # (K optimizer steps per dispatch, distinct batches per step), which is how a
+    # production loop runs when the host link is slow.
+    K = 10
     rng = jax.random.PRNGKey(0)
-    state, loss = step(state, images, labels, rng)  # compile
+    mstep = tr.make_multi_step(K)
+    im_stack = jnp.stack([images + 0.01 * i for i in range(K)])
+    lb_stack = jnp.stack([labels] * K)
+    state, loss = mstep(state, im_stack, lb_stack, rng)  # compile
     float(loss)
 
-    n_iters = 30
+    n_calls = 3
     t0 = time.time()
-    for i in range(n_iters):
-        state, loss = step(state, images, labels, jax.random.fold_in(rng, i))
+    for i in range(n_calls):
+        state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
     final_loss = float(loss)  # true sync: forces the whole chained sequence
-    dt = (time.time() - t0) / n_iters
+    dt = (time.time() - t0) / (n_calls * K)
     train_ips = bs / dt
 
     # eval throughput: chain by feeding the (clipped) output back as input

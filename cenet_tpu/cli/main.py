@@ -156,19 +156,34 @@ def run_train(cfg, args):
             it = int(tree["step"])
             start_epoch = it // max(iters_per_epoch, 1)
             log.info("resumed from %s at iter %d (epoch %d)", cands[-1], it, start_epoch)
+    spc = max(cfg.train.steps_per_call, 1)
+    mstep = trainer.make_multi_step(spc) if spc > 1 else None
+    pending = []
     for epoch in range(start_epoch, cfg.train.max_epochs):
         for batch in loader.epoch(epoch):
-            images = jax.device_put(jnp.asarray(batch["image"]), dev)
-            labels = jax.device_put(jnp.asarray(batch["label"]), dev)
-            state, loss = trainer.train_step(state, images, labels, jax.random.fold_in(rng, it))
-            meter.step(bs)
-            if it % 20 == 0:
+            if mstep is None:
+                images = jax.device_put(jnp.asarray(batch["image"]), dev)
+                labels = jax.device_put(jnp.asarray(batch["label"]), dev)
+                state, loss = trainer.train_step(state, images, labels, jax.random.fold_in(rng, it))
+                meter.step(bs)
+                it += 1
+            else:
+                pending.append(batch)
+                if len(pending) < spc:
+                    continue
+                images = jax.device_put(jnp.asarray(np.stack([b["image"] for b in pending])), dev)
+                labels = jax.device_put(jnp.asarray(np.stack([b["label"] for b in pending])), dev)
+                pending = []
+                state, loss = mstep(state, images, labels, jax.random.fold_in(rng, it))
+                for _ in range(spc):
+                    meter.step(bs)
+                it += spc
+            if it % 20 < spc:
                 lv = float(loss)
                 log.info("iter %d epoch %d loss %.5f lr %.6f %.1f img/s", it, epoch, lv,
                          float(trainer.schedule(it)), meter.images_per_sec)
                 writer.scalar("info/criterion", lv, it)
                 writer.scalar("info/lr", float(trainer.schedule(it)), it)
-            it += 1
         # eval / checkpoint policies (reference: main_synapse.py:297-309,
         # main_acdc.py:270-283, main_skin.py:261-270)
         if cfg.data.dataset == "synapse":

@@ -45,6 +45,7 @@ class TrainConfig:
     loss_weights: str = "1.0"
     amp: bool = True  # bf16 compute policy on TPU
     grad_accum_steps: int = 1
+    steps_per_call: int = 1  # optimizer steps per dispatch (scan); amortizes host latency
     grad_clip: float = 0.0
     remat: bool = False  # jax.checkpoint over encoder stages
     seed: int = 1234

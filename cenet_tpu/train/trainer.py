@@ -157,6 +157,43 @@ class Trainer:
             return jax.jit(train_step, donate_argnums=donate, in_shardings=in_shardings)
         return jax.jit(train_step, donate_argnums=donate)
 
+    def make_multi_step(self, n_steps: int) -> Callable:
+        """One dispatch runs ``n_steps`` optimizer steps over stacked batches.
+
+        ``images``/``labels`` carry a leading (n_steps,) axis — distinct batches per
+        step. Amortizes host→device dispatch latency (essential when the host link
+        is slow, e.g. the axon tunnel's ~30 ms per call); the loader's prefetch
+        depth should cover n_steps batches.
+        """
+        def train_step_body(state: TrainState, images, labels, rng):
+            (loss, new_bs), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                state.params, state.batch_stats, images, labels, rng
+            )
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_bs, new_opt, state.step + 1), loss
+
+        def multi_step(state: TrainState, images, labels, rng):
+            def body(carry, inp):
+                st, _ = carry
+                im, lb, r = inp
+                st, loss = train_step_body(st, im, lb, r)
+                return (st, loss), None
+
+            rngs = jax.random.split(rng, n_steps)
+            (state, loss), _ = jax.lax.scan(
+                body, (state, jnp.zeros((), jnp.float32)), (images, labels, rngs)
+            )
+            return state, loss
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stacked = NamedSharding(self.mesh, P(None, "data"))  # (steps, batch, ...)
+            in_shardings = (None, stacked, stacked, None)
+            return jax.jit(multi_step, donate_argnums=(0,), in_shardings=in_shardings)
+        return jax.jit(multi_step, donate_argnums=(0,))
+
     def make_eval_step(self) -> Callable:
         def eval_step(state: TrainState, images):
             out = self.model.apply(state.as_variables(), images.astype(self.compute_dtype), train=False)

@@ -156,3 +156,42 @@ def test_dp_training_matches_single_device():
     flat_d = jax.tree.leaves(params_out["dp8"])
     max_diff = max(np.max(np.abs(a - b)) for a, b in zip(flat_s, flat_d))
     assert max_diff < 5e-4, f"DP parameters diverged from single-device: {max_diff}"
+
+
+def test_multi_step_equals_sequential_steps():
+    """K steps via make_multi_step == K sequential train_step calls."""
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("acdc")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=4, scale_factors=(1.0, 0.5),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        train=cfg.train.__class__(
+            max_epochs=1, batch_size=2, base_lr=0.01, optimizer="sgd",
+            scheduler="poly", loss_type="ce", loss_weights="1.0", amp=False,
+        ),
+    )
+    K = 2
+    images = jnp.asarray(np.random.default_rng(0).standard_normal((K, 2, 64, 64, 1)), jnp.float32)
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, 4, (K, 2, 64, 64)), jnp.int32)
+    rng = jax.random.PRNGKey(7)
+
+    tr = Trainer(cfg, max_iterations=10)
+    s1 = tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    rngs = jax.random.split(rng, K)
+    for i in range(K):
+        s1, loss_seq = tr.train_step(s1, images[i], labels[i], rngs[i])
+
+    tr2 = Trainer(cfg, max_iterations=10)
+    s2 = tr2.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    mstep = tr2.make_multi_step(K)
+    s2, loss_multi = mstep(s2, images, labels, rng)
+
+    np.testing.assert_allclose(float(loss_seq), float(loss_multi), rtol=1e-5)
+    a = jax.tree.leaves(jax.tree.map(np.asarray, s1.params))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
+    max_diff = max(np.max(np.abs(x - y)) for x, y in zip(a, b))
+    assert max_diff < 1e-5, max_diff
