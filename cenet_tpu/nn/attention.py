@@ -199,6 +199,70 @@ class MultiheadDiffAttn(nn.Module):
         return Dense(E, E, use_bias=False, name="out_proj")(attn)
 
 
+class MultiheadDiffAttnCross(nn.Module):
+    """Cross-attention differential attention (reference ``multihead_diffattn.py:131-367``).
+
+    Unused by the reference models (kept for component parity). ``variant``:
+    * "v1": query from the decoder; output reshaped to NHWC and residually added to
+      the (NHWC) source when spatial dims are given (reference V1, ``:244-246``).
+    * "v2": query from the encoder; no residual add (reference V2, ``:362-364``).
+    """
+
+    embed_dim: int
+    depth: int
+    num_heads: int
+    variant: str = "v1"
+    spatial: Optional[int] = None  # H (= W) when inputs are NHWC maps
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, q_src: jnp.ndarray) -> jnp.ndarray:
+        from cenet_tpu.nn.dseb import tokenize_torch_view, untokenize_torch_view
+
+        spatial_mode = self.spatial is not None and x.ndim == 4
+        x_res = x if self.variant == "v1" else q_src
+        if spatial_mode:
+            h, w = x.shape[1], x.shape[2]
+            x_tok = tokenize_torch_view(x)
+            q_tok = tokenize_torch_view(q_src)
+        else:
+            x_tok, q_tok = x, q_src
+
+        B, N, E = x_tok.shape
+        hn = self.num_heads
+        hd = E // hn // 2
+        scaling = hd**-0.5
+        lambda_init = lambda_init_fn(self.depth)
+
+        q = Dense(E, E, use_bias=False, name="q_proj")(q_tok)
+        k = Dense(E, E, use_bias=False, name="k_proj")(x_tok)
+        v = Dense(E, E, use_bias=False, name="v_proj")(x_tok)
+        q = q.reshape(B, N, 2 * hn, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, 2 * hn, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, hn, 2 * hd).transpose(0, 2, 1, 3)
+
+        lam_init = normal_init(0.1)
+        l_q1 = self.param("lambda_q1", lam_init, (hd,), jnp.float32)
+        l_k1 = self.param("lambda_k1", lam_init, (hd,), jnp.float32)
+        l_q2 = self.param("lambda_q2", lam_init, (hd,), jnp.float32)
+        l_k2 = self.param("lambda_k2", lam_init, (hd,), jnp.float32)
+        lambda_full = (jnp.exp(jnp.sum(l_q1 * l_k1)) - jnp.exp(jnp.sum(l_q2 * l_k2)) + lambda_init).astype(x_tok.dtype)
+
+        core = get_attention_core(self.attn_impl if self.attn_impl != "xla" else "chunked")
+        qs = q * jnp.asarray(scaling, q.dtype)
+        attn = core(qs[:, 0::2], k[:, 0::2], v) - lambda_full * core(qs[:, 1::2], k[:, 1::2], v)
+        attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)
+        attn = attn * (1 - lambda_init)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, N, E)
+        attn = Dense(E, E, use_bias=False, name="out_proj")(attn)
+
+        if spatial_mode:
+            attn = untokenize_torch_view(attn, h, w)
+            if self.variant == "v1":
+                attn = attn + x_res
+        return attn
+
+
 class Nonlocal(nn.Module):
     """Non-local denoising block (reference ``modules/nlb.py:8-148``).
 
@@ -235,3 +299,26 @@ class Nonlocal(nn.Module):
         w = self.param("w", lambda key, shape: jnp.full(shape, 0.5, jnp.float32), ())
         w = w.astype(x.dtype)
         return (1 - w) * x + w * p
+
+
+class WeightedNonLocalBlock(nn.Module):
+    """Weighted non-local variant (reference ``modules/nlb.py:151-191``, unused by
+    the models; kept for component parity): softmax affinity between down-projected
+    θ/φ, value path g, output conv, learnable scalar blend."""
+
+    in_channels: int
+    inter_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        ic = self.inter_channels
+        theta = Conv2d(C, ic, 1, name="theta")(x).reshape(B, H * W, ic)
+        phi = Conv2d(C, ic, 1, name="phi")(x).reshape(B, H * W, ic)
+        g = Conv2d(C, ic, 1, name="g")(x).reshape(B, H * W, ic)
+        aff = F.softmax_fp32(jnp.einsum("bnc,bmc->bnm", theta, phi) * (ic**-0.5), axis=-1)
+        y = jnp.einsum("bnm,bmc->bnc", aff, g).reshape(B, H, W, ic)
+        y = Conv2d(ic, C, 1, name="out")(y)
+        y = BatchNorm(C, name="bn")(y, train)
+        w = self.param("w", lambda key, shape: jnp.full(shape, 0.5, jnp.float32), ())
+        return (1 - w.astype(x.dtype)) * x + w.astype(x.dtype) * y

@@ -296,3 +296,48 @@ def make_up_block(kind: str, in_channels: int, out_channels: int, kernel_size: i
     if kind == "uptc":
         return UpTConv(in_channels, out_channels, kernel_size, stride=2, name=name)
     raise ValueError(f"Invalid up_block: {kind}")
+
+
+class UnetBasicBlock(nn.Module):
+    """Two conv+BN+lrelu stages, no residual (reference ``modules/unet.py:217-285``)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        act = get_act("leakyrelu", neg_slope=0.01)
+        x = Conv2d(self.in_channels, self.out_channels, self.kernel_size, stride=self.stride,
+                   padding=_unet_padding(self.kernel_size, self.stride), use_bias=False,
+                   weight_init=trunc_normal_init(0.02), name="conv1")(x)
+        x = BatchNorm(self.out_channels, name="norm1")(x, train)
+        x = act(x)
+        x = Conv2d(self.out_channels, self.out_channels, self.kernel_size, stride=1,
+                   padding=_unet_padding(self.kernel_size, 1), use_bias=False,
+                   weight_init=trunc_normal_init(0.02), name="conv2")(x)
+        x = BatchNorm(self.out_channels, name="norm2")(x, train)
+        return act(x)
+
+
+class UnetUpBlock(nn.Module):
+    """Transposed-conv upsample + concat skip + UnetBasicBlock
+    (reference ``modules/unet.py:288-354``)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    upsample_kernel_size: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = self.upsample_kernel_size
+        p = _unet_padding(k, k)
+        op = 2 * p + k - k
+        x = ConvTranspose2d(self.in_channels, self.out_channels, k, stride=k, padding=p,
+                            output_padding=op, use_bias=False,
+                            weight_init=trunc_normal_init(0.02), name="transp_conv")(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        return UnetBasicBlock(self.out_channels * 2, self.out_channels, self.kernel_size, 1,
+                              name="conv_block")(x, train)
