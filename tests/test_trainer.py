@@ -195,3 +195,41 @@ def test_multi_step_equals_sequential_steps():
     b = jax.tree.leaves(jax.tree.map(np.asarray, s2.params))
     max_diff = max(np.max(np.abs(x - y)) for x, y in zip(a, b))
     assert max_diff < 1e-5, max_diff
+
+
+def test_model_learns_synthetic_shapes():
+    """Overfitting a fixed synthetic batch must drive training dice toward 1."""
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("ph2")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=3, num_classes=2, scale_factors=(1.0, 0.5),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        train=cfg.train.__class__(
+            max_epochs=1, batch_size=4, base_lr=0.05, optimizer="sgd",
+            scheduler="poly", loss_type="dice,ce", loss_weights="0.5,0.5", amp=False,
+        ),
+    )
+    rng = np.random.default_rng(0)
+    images = np.zeros((4, 64, 64, 3), np.float32)
+    labels = np.zeros((4, 64, 64), np.int32)
+    for i in range(4):
+        y0, x0 = rng.integers(8, 32, 2)
+        h, w = rng.integers(12, 28, 2)
+        labels[i, y0:y0 + h, x0:x0 + w] = 1
+        images[i] = labels[i][..., None] * 0.8 + rng.normal(0, 0.05, (64, 64, 3))
+
+    tr = Trainer(cfg, max_iterations=60)
+    state = tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    im, lb = jnp.asarray(images), jnp.asarray(labels)
+    for i in range(40):
+        state, loss = tr.train_step(state, im, lb, jax.random.PRNGKey(i))
+    probs = tr.eval_step(state, im)
+    pred = np.asarray(probs).argmax(-1)
+    inter = ((pred == 1) & (labels == 1)).sum()
+    dice = 2 * inter / ((pred == 1).sum() + (labels == 1).sum())
+    assert float(loss) < 0.35, float(loss)
+    assert dice > 0.9, dice
