@@ -186,14 +186,14 @@ class MultiheadDiffAttn(nn.Module):
         else:
             # Memory-efficient path: (A₁ − λ·A₂)·V = A₁V − λ·A₂V, so the two softmax
             # groups (even/odd interleaved heads after the (B,2h,..)→(B,h,2,..)
-            # reshape) reduce to attention-core calls — the N×N map is never
-            # materialized. Numerically identical softmax (fp32, full rows).
-            # All 2h maps run in ONE core call (V duplicated per group) so the
-            # fused kernel sees a single large grid.
+            # reshape) become two independent attention-core calls — the N×N map is
+            # never materialized. Numerically identical softmax (fp32, full rows).
+            # (Merging both groups into one call with V duplicated was measured
+            # SLOWER — the duplicated V doubles the dV backward work.)
             core = get_attention_core(self.attn_impl)
-            v_dup = jnp.repeat(v, 2, axis=1)  # head j uses v[j // 2]
-            out_all = core(qs, k, v_dup)  # (B, 2h, N, 2hd)
-            attn = out_all[:, 0::2] - lambda_full * out_all[:, 1::2]
+            out1 = core(qs[:, 0::2], k[:, 0::2], v)
+            out2 = core(qs[:, 1::2], k[:, 1::2], v)
+            attn = out1 - lambda_full * out2
 
         attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)
         attn = attn * (1 - lambda_init)
