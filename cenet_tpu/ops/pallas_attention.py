@@ -122,6 +122,45 @@ def _attn_dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref, *, m_
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+def _attn_bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dq_ref, dk_ref, dv_ref, *, n_valid: int):
+    """Combined backward: one S recompute per KV block yields dk/dv blocks AND a dq
+    partial, accumulated into the revisited dq output block (same block index across
+    the KV-loop, so it stays VMEM-resident)."""
+    q = q_ref[0]  # (Np, Dp)
+    kb = k_ref[0]  # (bk, Dp)
+    vb = v_ref[0]  # (bk, DVp)
+    do = do_ref[0]  # (Np, DVp)
+    lse = l_ref[0][:, 0:1]
+    delta = delta_ref[0][:, 0:1]
+    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    np_ = s.shape[0]
+    if n_valid < np_:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(row < n_valid, jnp.exp(s - lse), 0.0)
+    else:
+        p = jnp.exp(s - lse)
+    dp_ = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp_ - delta)
+    ds_l = ds.astype(q.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds_l, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dq_part = jax.lax.dot_general(
+        ds_l, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dq_ref[0] = dq_part.astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(1) > 0)
+    def _():
+        dq_ref[0] += dq_part.astype(dq_ref.dtype)
+
+
 def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dk_ref, dv_ref, *, n_valid: int):
     q = q_ref[0]  # (Np, Dp)
     kb = k_ref[0]  # (bk, Dp)
@@ -144,6 +183,55 @@ def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dk_ref, dv_r
     dv = jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g, block_k: int = 256, interpret: bool = False):
+    """Single-kernel backward (dq accumulated fp32 in a revisited output block)."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    dv_dim = v.shape[-1]
+    dp = _round_up(d, 128)
+    dvp = _round_up(dv_dim, 128)
+    np_ = _round_up(n, 128)
+    bk = min(block_k, _round_up(m, 128))
+    mp = _round_up(_round_up(m, 128), bk)
+
+    bh = b * h
+    qf = jnp.zeros((bh, np_, dp), q.dtype).at[:, :n, :d].set(q.reshape(bh, n, d))
+    kf = jnp.zeros((bh, mp, dp), k.dtype).at[:, :m, :d].set(k.reshape(bh, m, d))
+    vf = jnp.zeros((bh, mp, dvp), v.dtype).at[:, :m, :dv_dim].set(v.reshape(bh, m, dv_dim))
+    gf = jnp.zeros((bh, np_, dvp), g.dtype).at[:, :n, :dv_dim].set(g.reshape(bh, n, dv_dim))
+    lf = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(lse.reshape(bh, n, 1))
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(bh, n, 1)
+    df = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(delta)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_fused_kernel, n_valid=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, np_, dp), jnp.float32),  # fp32 accumulator
+            jax.ShapeDtypeStruct((bh, mp, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, mp, dvp), v.dtype),
+        ),
+        grid=(bh, mp // bk),
+        in_specs=[
+            pl.BlockSpec((1, np_, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, np_, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, gf, lf, df)
+    dq = dq[:, :n, :d].reshape(b, h, n, d).astype(q.dtype)
+    dk = dk[:, :m, :d].reshape(b, h, m, d)
+    dv = dv[:, :m, :dv_dim].reshape(b, h, m, dv_dim)
+    return dq, dk, dv
 
 
 def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: int = 256, interpret: bool = False):
@@ -224,7 +312,7 @@ def _fwd(q, k, v):
 
 def _bwd(res, g):
     q, k, v, o, lse = res
-    return _pallas_attention_bwd_impl(q, k, v, o, lse, g)
+    return _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g)
 
 
 pallas_attention.defvjp(_fwd, _bwd)

@@ -116,3 +116,27 @@ def test_pallas_attention_bwd_interpret_matches_autodiff(rng):
         np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_attention_bwd_fused_interpret_matches_autodiff(rng):
+    from cenet_tpu.nn.attention import xla_attention_core
+    from cenet_tpu.ops.pallas_attention import (
+        _pallas_attention_bwd_fused_impl,
+        _pallas_attention_fwd_impl,
+    )
+
+    for (b, h, n, m, d, dv) in [(1, 2, 64, 64, 16, 16), (1, 1, 100, 49, 8, 24)]:
+        q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, h, n, dv)), jnp.float32)
+
+        def f(q, k, v):
+            return jnp.sum(xla_attention_core(q, k, v) * g)
+
+        dq_ref, dk_ref, dv_ref = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        o, lse = _pallas_attention_fwd_impl(q, k, v, interpret=True, with_lse=True)
+        dq, dk, dv = _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4, rtol=2e-4)
