@@ -185,7 +185,7 @@ def _attn_dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, delta_ref, dk_ref, dv_r
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g, block_k: int = 256, interpret: bool = False):
+def _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g, block_k: int = 128, interpret: bool = False):
     """Single-kernel backward (dq accumulated fp32 in a revisited output block)."""
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -312,7 +312,10 @@ def _fwd(q, k, v):
 
 def _bwd(res, g):
     q, k, v, o, lse = res
-    return _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g)
+    # Two-kernel split (dq + dkv) measured faster than the single fused kernel
+    # (10.9 vs 14.9 ms at DSEB1 shapes): the fused variant forces bk=128 to fit
+    # VMEM, halving matmul efficiency.
+    return _pallas_attention_bwd_impl(q, k, v, o, lse, g)
 
 
 pallas_attention.defvjp(_fwd, _bwd)
