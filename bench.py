@@ -88,6 +88,20 @@ def main():
     float(probs[0, 0, 0, 0])
     eval_ips = bs / ((time.time() - t0) / 30)
 
+    # volume-inference throughput (the reference's per-slice eval protocol, batched):
+    # synthetic 64-slice 512² CT volume → zoom 224 → forward → argmax → back-zoom
+    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig
+
+    vol = np.random.default_rng(2).standard_normal((64, 512, 512)).astype(np.float32)
+    inf = VolumeInferencer(
+        lambda x: eval_step(state, x), VolumeInferenceConfig(img_size=224, chunk=32, num_classes=9)
+    )
+    _ = inf.predict_volume(vol)  # compile
+    t0 = time.time()
+    pred = inf.predict_volume(vol)
+    _ = int(pred[0, 0, 0])
+    vol_ips = 64 / (time.time() - t0)
+
     print(
         json.dumps(
             {
@@ -96,6 +110,7 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(train_ips / A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE, 2),
                 "eval_images_per_sec_per_chip": round(eval_ips, 1),
+                "volume_inference_slices_per_sec": round(vol_ips, 1),
                 "train_step_ms": round(dt * 1e3, 2),
                 "final_loss": round(final_loss, 4),
                 "device": str(jax.devices()[0]),
