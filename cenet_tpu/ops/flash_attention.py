@@ -60,7 +60,17 @@ def chunked_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_chu
 
 
 def flash_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Fused Pallas attention on TPU; chunked-XLA fallback elsewhere."""
+    """Fused Pallas attention on TPU; chunked-XLA fallback elsewhere.
+
+    Tiny attention sites (N·M ≤ 256²: PVT stages 3-4, Nonlocal at 7-14 px) skip the
+    kernel — the full map is a few hundred KB and XLA's fused naive path beats the
+    pallas grid overhead there.
+    """
+    n, m = q.shape[2], k.shape[2]
+    if n * m <= 256 * 256:
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+        weights = _softmax_fp32(logits)
+        return jnp.einsum("bhnm,bhmd->bhnd", weights, v)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu:
         try:
