@@ -58,7 +58,8 @@ class VolumeInferencer:
         preds = []
         for i in range(0, d + pad, c):
             probs = self.predict_fn(x[i : i + c])
-            preds.append(jnp.argmax(probs, axis=-1).astype(jnp.int32))
+            # uint8 labels (num_classes ≤ 255): 4× less device→host traffic
+            preds.append(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
         pred = jnp.concatenate(preds, axis=0)[:d]  # (D, s, s)
 
         if (h, w) != (s, s):
