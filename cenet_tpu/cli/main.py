@@ -184,6 +184,19 @@ def run_train(cfg, args):
                          float(trainer.schedule(it)), meter.images_per_sec)
                 writer.scalar("info/criterion", lv, it)
                 writer.scalar("info/lr", float(trainer.schedule(it)), it)
+            if it % 100 < spc:
+                # image/GT/prediction triptych every ~100 iters (main_synapse.py:285-293)
+                try:
+                    img0 = np.asarray(batch["image"][0])
+                    img0 = (img0 - img0.min()) / max(img0.max() - img0.min(), 1e-6)
+                    probs0 = np.asarray(trainer.eval_step(state, jnp.asarray(batch["image"][:1])))[0]
+                    pred0 = probs0.argmax(-1) / max(cfg.model.num_classes - 1, 1)
+                    gt0 = np.asarray(batch["label"][0]) / max(cfg.model.num_classes - 1, 1)
+                    writer.image("train/Image", img0.transpose(2, 0, 1)[:1], it)
+                    writer.image("train/Prediction", pred0[None], it)
+                    writer.image("train/GroundTruth", gt0[None], it)
+                except Exception:
+                    pass
         # eval / checkpoint policies (reference: main_synapse.py:297-309,
         # main_acdc.py:270-283, main_skin.py:261-270)
         if cfg.data.dataset == "synapse":
