@@ -62,12 +62,14 @@ def chunked_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_chu
 def flash_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused Pallas attention on TPU; chunked-XLA fallback elsewhere.
 
-    Tiny attention sites (N·M ≤ 256²: PVT stages 3-4, Nonlocal at 7-14 px) skip the
-    kernel — the full map is a few hundred KB and XLA's fused naive path beats the
-    pallas grid overhead there.
+    Small attention sites (full-map fp32 footprint ≤ 32 MB: PVT SRA at all stages —
+    KV is spatially reduced to ≤49² there — and Nonlocal below 56 px) skip the
+    kernel: the map fits comfortably and XLA's fused naive path beats the pallas
+    grid/padding overhead.
     """
-    n, m = q.shape[2], k.shape[2]
-    if n * m <= 256 * 256:
+    b, h, n, _ = q.shape
+    m = k.shape[2]
+    if b * h * n * m * 4 <= 32 * 1024 * 1024:
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         weights = _softmax_fp32(logits)
         return jnp.einsum("bhnm,bhmd->bhnd", weights, v)
