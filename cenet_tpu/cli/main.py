@@ -37,6 +37,7 @@ def build_argparser():
     p.add_argument("--eval_interval", type=int, default=None)
     p.add_argument("--throughput", action="store_true")
     p.add_argument("--resume", action="store_true", help="resume from the latest snapshot in the output dir")
+    p.add_argument("--mesh", default=None, help="data[,model] device mesh, e.g. '8' or '4,2'; default: single device")
     return p
 
 
@@ -115,7 +116,14 @@ def run_train(cfg, args):
     bs = cfg.train.batch_size
     iters_per_epoch = len(tr_ds) // bs
     max_iterations = cfg.train.max_epochs * iters_per_epoch
-    trainer = Trainer(cfg, max_iterations, iters_per_epoch=iters_per_epoch)
+    mesh = None
+    if getattr(args, "mesh", None):
+        from cenet_tpu.core.mesh import MeshConfig, make_mesh
+
+        parts = [int(x) for x in args.mesh.split(",")]
+        mesh = make_mesh(MeshConfig(data=parts[0], model=parts[1] if len(parts) > 1 else 1))
+        log.info("mesh: %s", mesh)
+    trainer = Trainer(cfg, max_iterations, mesh=mesh, iters_per_epoch=iters_per_epoch)
 
     cpu = jax.local_devices(backend="cpu")
     dev = jax.devices()[0]
@@ -162,8 +170,14 @@ def run_train(cfg, args):
     for epoch in range(start_epoch, cfg.train.max_epochs):
         for batch in loader.epoch(epoch):
             if mstep is None:
-                images = jax.device_put(jnp.asarray(batch["image"]), dev)
-                labels = jax.device_put(jnp.asarray(batch["label"]), dev)
+                if trainer.mesh is not None:
+                    from cenet_tpu.core.mesh import shard_host_local_batch
+
+                    sharded = shard_host_local_batch(trainer.mesh, {"i": batch["image"], "l": batch["label"]})
+                    images, labels = sharded["i"], sharded["l"]
+                else:
+                    images = jax.device_put(jnp.asarray(batch["image"]), dev)
+                    labels = jax.device_put(jnp.asarray(batch["label"]), dev)
                 state, loss = trainer.train_step(state, images, labels, jax.random.fold_in(rng, it))
                 meter.step(bs)
                 it += 1
