@@ -233,3 +233,42 @@ def test_model_learns_synthetic_shapes():
     dice = 2 * inter / ((pred == 1).sum() + (labels == 1).sum())
     assert float(loss) < 0.35, float(loss)
     assert dice > 0.9, dice
+
+
+def test_tp_training_matches_single_device():
+    """1 train step on a data4×model2 mesh with TP-sharded attention weights must
+    match single-device training (GSPMD collectives preserve the math)."""
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.core.mesh import TP_ATTENTION_RULES, shard_params
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("acdc")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=4, scale_factors=(1.0, 0.5),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        train=cfg.train.__class__(
+            max_epochs=1, batch_size=8, base_lr=0.01, optimizer="sgd",
+            scheduler="poly", loss_type="ce", loss_weights="1.0", amp=False,
+        ),
+    )
+    images = jnp.asarray(np.random.default_rng(0).standard_normal((8, 64, 64, 1)), jnp.float32)
+    labels = jnp.asarray(np.random.default_rng(1).integers(0, 4, (8, 64, 64)), jnp.int32)
+
+    tr_s = Trainer(cfg, max_iterations=10)
+    s_single = tr_s.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    s_single, loss_single = tr_s.train_step(s_single, images, labels, jax.random.PRNGKey(9))
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    tr_m = Trainer(cfg, max_iterations=10, mesh=mesh)
+    s_tp = tr_m.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    s_tp.params = shard_params(mesh, s_tp.params, TP_ATTENTION_RULES)
+    b = shard_batch(mesh, {"i": images, "l": labels})
+    s_tp, loss_tp = tr_m.train_step(s_tp, b["i"], b["l"], jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=2e-4)
+    a = jax.tree.leaves(jax.tree.map(np.asarray, s_single.params))
+    c = jax.tree.leaves(jax.tree.map(np.asarray, s_tp.params))
+    max_diff = max(np.max(np.abs(x - y)) for x, y in zip(a, c))
+    assert max_diff < 5e-4, f"TP diverged from single-device: {max_diff}"
