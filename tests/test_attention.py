@@ -246,3 +246,71 @@ def test_diffattn_gqa_repeat_kv(rng):
     out = mod.apply(v, jnp.asarray(x))
     assert out.shape == (1, n, e)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TorchDiffAttnCross(tnn.Module):
+    """Cross differential attention from spec (V1: query from decoder, spatial residual)."""
+
+    def __init__(self, embed_dim, depth, num_heads):
+        super().__init__()
+        self.h = num_heads
+        self.hd = embed_dim // num_heads // 2
+        self.scaling = self.hd ** -0.5
+        self.q_proj = tnn.Linear(embed_dim, embed_dim, bias=False)
+        self.k_proj = tnn.Linear(embed_dim, embed_dim, bias=False)
+        self.v_proj = tnn.Linear(embed_dim, embed_dim, bias=False)
+        self.out_proj = tnn.Linear(embed_dim, embed_dim, bias=False)
+        self.lambda_init = 0.8 - 0.6 * math.exp(-0.3 * depth)
+        g = torch.Generator().manual_seed(11)
+        self.lambda_q1 = tnn.Parameter(torch.randn(self.hd, generator=g) * 0.1)
+        self.lambda_k1 = tnn.Parameter(torch.randn(self.hd, generator=g) * 0.1)
+        self.lambda_q2 = tnn.Parameter(torch.randn(self.hd, generator=g) * 0.1)
+        self.lambda_k2 = tnn.Parameter(torch.randn(self.hd, generator=g) * 0.1)
+
+    def forward(self, x_nchw, q_nchw):
+        x_res = x_nchw
+        b, c, hh, ww = x_nchw.shape
+        x = x_nchw.contiguous().view(b, -1, c)  # the same raw .view tokenization
+        qs = q_nchw.contiguous().view(b, -1, c)
+        n = x.shape[1]
+        q = self.q_proj(qs).view(b, n, 2 * self.h, self.hd).transpose(1, 2) * self.scaling
+        k = self.k_proj(x).view(b, n, 2 * self.h, self.hd).transpose(1, 2)
+        v = self.v_proj(x).view(b, n, self.h, 2 * self.hd).transpose(1, 2)
+        aw = tF.softmax(torch.matmul(q, k.transpose(-1, -2)), dim=-1, dtype=torch.float32).type_as(x)
+        lam = torch.exp(torch.sum(self.lambda_q1 * self.lambda_k1)) - torch.exp(
+            torch.sum(self.lambda_q2 * self.lambda_k2)) + self.lambda_init
+        aw = aw.view(b, self.h, 2, n, n)
+        aw = aw[:, :, 0] - lam * aw[:, :, 1]
+        attn = torch.matmul(aw, v)
+        a32 = attn.float()
+        attn = (a32 * torch.rsqrt(a32.pow(2).mean(-1, keepdim=True) + 1e-5)).type_as(attn)
+        attn = attn * (1 - self.lambda_init)
+        attn = attn.transpose(1, 2).reshape(b, n, 2 * self.h * self.hd)
+        attn = self.out_proj(attn)
+        attn = attn.view(b, c, hh, ww)  # raw view back
+        return attn + x_res
+
+
+def test_diffattn_cross_v1_matches_torch(rng):
+    from cenet_tpu.nn.attention import MultiheadDiffAttnCross
+
+    e, heads, depth, hw = 16, 2, 1, 6
+    tmod = TorchDiffAttnCross(e, depth, heads).eval()
+    x = rng.standard_normal((2, hw, hw, e)).astype(np.float32)
+    qs = rng.standard_normal((2, hw, hw, e)).astype(np.float32)
+    mod = MultiheadDiffAttnCross(e, depth=depth, num_heads=heads, variant="v1", spatial=hw)
+    variables = {
+        "params": {
+            "q_proj": {"weight": lin_w(tmod.q_proj)},
+            "k_proj": {"weight": lin_w(tmod.k_proj)},
+            "v_proj": {"weight": lin_w(tmod.v_proj)},
+            "out_proj": {"weight": lin_w(tmod.out_proj)},
+            "lambda_q1": jnp.asarray(tmod.lambda_q1.detach().numpy()),
+            "lambda_k1": jnp.asarray(tmod.lambda_k1.detach().numpy()),
+            "lambda_q2": jnp.asarray(tmod.lambda_q2.detach().numpy()),
+            "lambda_k2": jnp.asarray(tmod.lambda_k2.detach().numpy()),
+        }
+    }
+    ours = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(qs)))
+    ref = tmod(torch.from_numpy(to_nchw(x)), torch.from_numpy(to_nchw(qs))).detach().numpy()
+    np.testing.assert_allclose(ours, to_nhwc(ref), atol=2e-4, rtol=1e-3)
