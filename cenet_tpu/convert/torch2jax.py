@@ -170,7 +170,8 @@ def _org_rename(key: str) -> str:
     key = key.replace("conv_stem.", "conv.0.")
     key = key.replace("enc_rb.", "enc.0.")
     key = key.replace("up_rb.", "up.1.")
-    key = key.replace("out.conv.conv.", "out.conv.conv.")  # UnetOutBlock already wrapped
+    # UnetOutBlock head: our out/conv → torch out.conv.conv (monai Convolution wrapper)
+    key = re.sub(r"^out\.conv\.(weight|bias)$", r"out.conv.conv.\1", key)
     return key
 
 

@@ -125,7 +125,11 @@ def _gaussian_smooth_3x3(x: jnp.ndarray, sigma_raw: jnp.ndarray) -> jnp.ndarray:
     coords = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
     gx = coords[:, None] ** 2 + coords[None, :] ** 2  # (3,3)
     kernel = jnp.exp(-gx[None, :, :] / (2.0 * jnp.square(sigma)[:, None, None]))  # (C,3,3)
-    kernel = kernel / jnp.sum(kernel, axis=(1, 2), keepdims=True)
+    # Reference quirk (dseb.py:135): the (1,C,3,3) torch kernel is normalized by
+    # ``kernel.sum(dim=[0,1], keepdim=True)`` — a per-TAP sum ACROSS channels, not a
+    # per-channel sum over the 9 taps. Each channel's kernel does NOT sum to 1;
+    # replicated bit-for-bit for checkpoint parity (tests/test_reference_parity.py).
+    kernel = kernel / jnp.sum(kernel, axis=0, keepdims=True)
     rhs = kernel.transpose(1, 2, 0)[:, :, None, :].astype(x.dtype)  # HWIO (3,3,1,C)
     return jax.lax.conv_general_dilated(
         x,
