@@ -38,6 +38,18 @@ def build_argparser():
     p.add_argument("--throughput", action="store_true")
     p.add_argument("--resume", action="store_true", help="resume from the latest snapshot in the output dir")
     p.add_argument("--mesh", default=None, help="data[,model] device mesh, e.g. '8' or '4,2'; default: single device")
+    # eval-protocol surface (reference scripts/synapse.sh TEST uses scale_factors
+    # 1.0,0.75,0.5 vs TRAIN's 0.8,0.4 — FEA depends on these, synapse.sh:74,103)
+    p.add_argument("--scale_factors", default=None, help="comma floats, e.g. '1.0,0.75,0.5'")
+    p.add_argument("--diffatt_num_heads", default=None, help="comma ints, e.g. '16,8,8'")
+    p.add_argument("--skip_mode", default=None, choices=[None, "add", "cat"])
+    p.add_argument("--skip_use_command", default=None)
+    p.add_argument("--is_savenii", action="store_true", help="export predictions as .nii.gz (eval)")
+    p.add_argument("--z_spacing", type=int, default=None)
+    # multi-host (DCN) initialization
+    p.add_argument("--coordinator", default=None, help="host:port of process 0")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -50,6 +62,16 @@ def make_config(args):
         model = dataclasses.replace(model, model_version=args.model_version)
     if args.attn_impl:
         model = dataclasses.replace(model, attn_impl=args.attn_impl)
+    if args.scale_factors:
+        model = dataclasses.replace(model, scale_factors=tuple(float(s) for s in args.scale_factors.split(",")))
+    if args.diffatt_num_heads:
+        model = dataclasses.replace(model, diffatt_num_heads=tuple(int(s) for s in args.diffatt_num_heads.split(",")))
+    if args.skip_mode:
+        model = dataclasses.replace(model, skip_mode=args.skip_mode)
+    if args.skip_use_command:
+        model = dataclasses.replace(model, skip_use_command=args.skip_use_command)
+    if args.z_spacing is not None:
+        data = dataclasses.replace(data, z_spacing=args.z_spacing)
     for field, val in [("max_epochs", args.max_epochs), ("batch_size", args.batch_size),
                        ("base_lr", args.base_lr), ("seed", args.seed), ("amp", args.amp),
                        ("eval_interval", args.eval_interval)]:
@@ -98,6 +120,20 @@ def _datasets(cfg):
     )
 
 
+def _make_mesh(args, log):
+    """Shared train/eval mesh setup; initializes multi-host DCN first if asked."""
+    from cenet_tpu.core.mesh import MeshConfig, init_distributed, make_mesh
+
+    init_distributed(getattr(args, "coordinator", None), getattr(args, "num_processes", None),
+                     getattr(args, "process_id", None))
+    if not getattr(args, "mesh", None):
+        return None
+    parts = [int(x) for x in args.mesh.split(",")]
+    mesh = make_mesh(MeshConfig(data=parts[0], model=parts[1] if len(parts) > 1 else 1))
+    log.info("mesh: %s", mesh)
+    return mesh
+
+
 def run_train(cfg, args):
     import jax
     import jax.numpy as jnp
@@ -116,13 +152,7 @@ def run_train(cfg, args):
     bs = cfg.train.batch_size
     iters_per_epoch = len(tr_ds) // bs
     max_iterations = cfg.train.max_epochs * iters_per_epoch
-    mesh = None
-    if getattr(args, "mesh", None):
-        from cenet_tpu.core.mesh import MeshConfig, make_mesh
-
-        parts = [int(x) for x in args.mesh.split(",")]
-        mesh = make_mesh(MeshConfig(data=parts[0], model=parts[1] if len(parts) > 1 else 1))
-        log.info("mesh: %s", mesh)
+    mesh = _make_mesh(args, log)
     trainer = Trainer(cfg, max_iterations, mesh=mesh, iters_per_epoch=iters_per_epoch)
 
     cpu = jax.local_devices(backend="cpu")
@@ -131,11 +161,20 @@ def run_train(cfg, args):
         state = trainer.init_state(
             jax.random.PRNGKey(cfg.train.seed), (1, cfg.data.img_size, cfg.data.img_size, cfg.model.input_channels)
         )
-    if args.pretrained_pth:
+    pretrained = args.pretrained_pth
+    if not pretrained and cfg.model.enc_pretrain:
+        # reference default: train mode loads {base_ptdir}/{encoder}.pth
+        # (encoder.py:75-84; forced off in eval mode, main_synapse.py:144)
+        cand = os.path.join("pretrained_pth", "pvt", f"{cfg.model.encoder}.pth")
+        if os.path.exists(cand):
+            pretrained = cand
+        else:
+            log.warning("enc_pretrain=True but %s not found; training from scratch", cand)
+    if pretrained:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        variables = load_pretrained_encoder(variables, args.pretrained_pth)
+        variables = load_pretrained_encoder(variables, pretrained)
         state = dataclasses.replace(state, params=variables["params"], batch_stats=variables["batch_stats"])
-        log.info("loaded pretrained encoder from %s", args.pretrained_pth)
+        log.info("loaded pretrained encoder from %s", pretrained)
     state = jax.device_put(state, dev)
 
     loader = Loader(len(tr_ds), tr_ds.get_train, bs, seed=cfg.train.seed)
@@ -145,25 +184,23 @@ def run_train(cfg, args):
     rng = jax.random.PRNGKey(cfg.train.seed)
     it = 0
     start_epoch = 0
-    if getattr(args, "resume", False):
-        # real step-level resume (the reference's --resume flag was dead,
-        # main_synapse.py:63)
-        import glob as _glob
-
-        cands = sorted(_glob.glob(os.path.join(snap, "*_*.npz")), key=os.path.getmtime)
-        if cands:
-            from cenet_tpu.core.checkpoint import _load_npz
-
-            tree = _load_npz(cands[-1])
-            state = dataclasses.replace(
-                state,
-                params=jax.device_put(tree["params"], dev),
-                batch_stats=jax.device_put(tree["batch_stats"], dev),
-                step=jax.device_put(jnp.asarray(tree["step"]), dev),
-            )
-            it = int(tree["step"])
-            start_epoch = it // max(iters_per_epoch, 1)
-            log.info("resumed from %s at iter %d (epoch %d)", cands[-1], it, start_epoch)
+    if getattr(args, "resume", False) and ckpt.has_any():
+        # Real step-level resume (the reference's --resume flag was dead,
+        # main_synapse.py:63): the FULL TrainState — optimizer momentum included —
+        # is restored via Orbax, so the continued run bit-matches an uninterrupted
+        # one. Falls back to tagged snapshots when no step checkpoint exists.
+        src = None
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore_state(state)
+            src = f"step {ckpt.latest_step()}"
+        else:
+            tag = ckpt.available_tags()[-1]
+            state = ckpt.restore_state(state, tag=tag)
+            src = f"tag {tag}"
+        state = jax.device_put(state, dev)
+        it = int(state.step)
+        start_epoch = it // max(iters_per_epoch, 1)
+        log.info("resumed from %s at iter %d (epoch %d, momentum restored)", src, it, start_epoch)
     spc = max(cfg.train.steps_per_call, 1)
     mstep = trainer.make_multi_step(spc) if spc > 1 else None
     pending = []
@@ -248,6 +285,9 @@ def run_train(cfg, args):
                     best_test = t_dice
                     ckpt.save_best(state, {"val_dice": val_d, "test_dice": t_dice, "epoch": epoch})
                     log.info("new best test dice %.4f (saved best)", t_dice)
+        # rotating step checkpoint (keep=N) so --resume restores the latest epoch
+        # boundary with optimizer momentum intact
+        ckpt.save(it, state)
     ckpt.save(it, state, tag="final")
     log.info("training done; throughput %.1f img/s", meter.images_per_sec)
     if args.throughput:
@@ -322,15 +362,16 @@ def run_eval(cfg, args):
     snap = snapshot_path(cfg)
     log = setup_logging(snap, "eval")
     tr_ds, vl_ds, te_ds = _datasets(cfg)
-    trainer = Trainer(cfg, max_iterations=1)
+    mesh = _make_mesh(args, log)  # sharded eval: batch rides the 'data' axis
+    trainer = Trainer(cfg, max_iterations=1, mesh=mesh)
     cpu = jax.local_devices(backend="cpu")
     dev = jax.devices()[0]
     with jax.default_device(cpu[0] if cpu else dev):
         state = trainer.init_state(
             jax.random.PRNGKey(cfg.train.seed), (1, cfg.data.img_size, cfg.data.img_size, cfg.model.input_channels)
         )
-    ckpt_path = args.checkpoint or os.path.join(snap, "best.npz")
-    if ckpt_path.endswith(".pth"):
+    ckpt_path = args.checkpoint
+    if ckpt_path and ckpt_path.endswith(".pth"):
         from cenet_tpu.convert.torch2jax import convert_state_dict, load_torch_checkpoint
 
         sd = load_torch_checkpoint(ckpt_path)
@@ -339,10 +380,24 @@ def run_eval(cfg, args):
         )
         log.info("torch checkpoint: %d missing, %d unused", len(report["missing"]), len(report["unused"]))
         state = dataclasses.replace(state, params=variables["params"], batch_stats=variables["batch_stats"])
-    else:
+    elif ckpt_path and ckpt_path.endswith(".npz"):
         tree = _load_npz(ckpt_path)
         state = dataclasses.replace(state, params=tree["params"], batch_stats=tree["batch_stats"])
-    state = jax.device_put(state, dev)
+    else:
+        # reference fallback order (main_acdc.py:158-160): best, then final
+        mgr = CheckpointManager(ckpt_path or snap)
+        tags = mgr.available_tags()
+        if not tags and mgr.latest_step() is None:
+            raise FileNotFoundError(f"no checkpoint in {ckpt_path or snap}; pass --checkpoint")
+        tag = "best" if "best" in tags else (tags[-1] if tags else None)
+        state = mgr.restore_state(state, tag=tag)
+        ckpt_path = f"{ckpt_path or snap} [{tag or mgr.latest_step()}]"
+    if mesh is not None:
+        from cenet_tpu.core.mesh import replicated as _rep
+
+        state = jax.tree.map(lambda a: jax.device_put(a, _rep(mesh)), state)
+    else:
+        state = jax.device_put(state, dev)
     log.info("loaded checkpoint %s", ckpt_path)
 
     if cfg.data.dataset in ("synapse", "acdc"):
@@ -354,7 +409,26 @@ def run_eval(cfg, args):
                 num_classes=cfg.model.num_classes,
             ),
         )
-        dice, hd = run_inference(inf, list(te_ds.volumes()), full_metrics=(cfg.data.dataset == "acdc"), log=log)
+        save_hook = None
+        if args.is_savenii:
+            # reference --is_savenii: pred/img/gt exported per case with
+            # (1, 1, z_spacing) spacing (utils_synapse.py:88-97)
+            from cenet_tpu.evaluate.nifti import write_nifti
+
+            nii_dir = os.path.join(snap, "predictions")
+            os.makedirs(nii_dir, exist_ok=True)
+            zsp = float(cfg.data.z_spacing)
+
+            def save_hook(case, pred):
+                name = case.get("case_name", "case")
+                write_nifti(os.path.join(nii_dir, f"{name}_pred.nii.gz"), pred.astype(np.uint8), (1.0, 1.0, zsp))
+                write_nifti(os.path.join(nii_dir, f"{name}_img.nii.gz"), case["image"].astype(np.float32), (1.0, 1.0, zsp))
+                write_nifti(os.path.join(nii_dir, f"{name}_gt.nii.gz"), case["label"].astype(np.uint8), (1.0, 1.0, zsp))
+
+            log.info("saving nii.gz predictions to %s", nii_dir)
+        dice, hd = run_inference(
+            inf, list(te_ds.volumes()), full_metrics=(cfg.data.dataset == "acdc"), log=log, save_hook=save_hook
+        )
         print(json.dumps({"mean_dice": dice, "mean_hd95": hd}))
     else:
         from cenet_tpu.evaluate.skin import skin_test

@@ -3,7 +3,11 @@
 Reference policies (SURVEY.md §5):
 * Synapse: periodic epoch snapshots every ``eval_interval`` after T/2 plus final.
 * ACDC/skin: ``best`` checkpoint gated on val→test improvement, plus final.
-* ``--resume`` is a dead flag in the reference; here step-level resume is real.
+* ``--resume`` is a dead flag in the reference (``main_synapse.py:63``); here
+  step-level resume is real: every save carries the FULL TrainState — params,
+  batch_stats, optimizer state (momentum included) and step — via Orbax
+  ``StandardSave``/``StandardRestore``, so a resumed run bit-matches an
+  uninterrupted one (tests/test_trainer.py::test_resume_bit_matches_uninterrupted).
 
 Also supports importing PyTorch ``.pth`` state dicts through the converter.
 """
@@ -25,26 +29,41 @@ except Exception:  # pragma: no cover
 
 
 class CheckpointManager:
+    """Step-indexed snapshots + named tags ('best', 'final', 'epochN').
+
+    Everything goes through Orbax StandardSave so the optax state pytree
+    round-trips structurally (the old npz path flattened tuples into string-keyed
+    dicts and could not restore momentum). npz remains only as an orbax-less
+    fallback and for torch interchange.
+    """
+
     def __init__(self, directory: str, keep: int = 3):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.keep = keep
         if _HAS_ORBAX:
             self._mgr = ocp.CheckpointManager(
-                self.directory,
+                os.path.join(self.directory, "steps"),
                 options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
             )
-        else:
+            self._tagger = ocp.StandardCheckpointer()
+        else:  # pragma: no cover
             self._mgr = None
+            self._tagger = None
+
+    # -- save -----------------------------------------------------------------
 
     def save(self, step: int, state: Any, metrics: Optional[Dict] = None, tag: Optional[str] = None):
         tree = jax.tree.map(np.asarray, _state_to_tree(state))
-        if self._mgr is not None and tag is None:
-            self._mgr.save(step, args=ocp.args.StandardSave(tree))
-            self._mgr.wait_until_finished()
-        else:
-            path = os.path.join(self.directory, f"{tag or 'ckpt'}_{step}.npz" if tag else f"ckpt_{step}.npz")
-            _save_npz(path, tree)
+        if self._mgr is not None:
+            if tag is None:
+                self._mgr.save(int(step), args=ocp.args.StandardSave(tree))
+                self._mgr.wait_until_finished()
+            else:
+                self._tagger.save(os.path.join(self.directory, tag), tree, force=True)
+                self._tagger.wait_until_finished()
+        else:  # pragma: no cover
+            _save_npz(os.path.join(self.directory, f"{tag or 'ckpt'}_{step}.npz"), tree)
         if metrics is not None:
             import json
 
@@ -52,26 +71,49 @@ class CheckpointManager:
                 json.dump(metrics, f)
 
     def save_best(self, state: Any, metrics: Optional[Dict] = None):
-        tree = jax.tree.map(np.asarray, _state_to_tree(state))
-        _save_npz(os.path.join(self.directory, "best.npz"), tree)
-        if metrics is not None:
-            import json
+        self.save(0, state, metrics=metrics, tag="best")
 
-            with open(os.path.join(self.directory, "metrics_best.json"), "w") as f:
-                json.dump(metrics, f)
+    # -- restore ----------------------------------------------------------------
 
-    def restore(self, step: Optional[int] = None, path: Optional[str] = None) -> Dict:
-        if path is not None:
-            return _load_npz(path)
-        if self._mgr is not None:
+    def restore_state(self, template_state: Any, step: Optional[int] = None, tag: Optional[str] = None) -> Any:
+        """Restore a full TrainState (opt_state/momentum included) into the
+        structure of ``template_state``. ``step=None, tag=None`` → latest step."""
+        import dataclasses
+
+        template = _state_to_tree(template_state)
+        if self._mgr is None:  # pragma: no cover
+            raise FileNotFoundError("orbax unavailable; restore from npz via _load_npz")
+        if tag is not None:
+            tree = self._tagger.restore(os.path.join(self.directory, tag), target=template)
+        else:
             step = step if step is not None else self._mgr.latest_step()
             if step is None:
-                raise FileNotFoundError(f"no checkpoints in {self.directory}")
-            return self._mgr.restore(step)
-        raise FileNotFoundError("no checkpoint source given")
+                raise FileNotFoundError(f"no step checkpoints in {self.directory}")
+            tree = self._mgr.restore(int(step), args=ocp.args.StandardRestore(template))
+        if hasattr(template_state, "params"):
+            return dataclasses.replace(
+                template_state,
+                params=tree["params"],
+                batch_stats=tree["batch_stats"],
+                opt_state=tree["opt_state"],
+                step=tree["step"],
+            )
+        return tree
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step() if self._mgr is not None else None
+
+    def available_tags(self):
+        return [
+            t for t in ("best", "final")
+            if os.path.isdir(os.path.join(self.directory, t))
+        ] + sorted(
+            t for t in os.listdir(self.directory)
+            if t.startswith("epoch") and os.path.isdir(os.path.join(self.directory, t))
+        )
+
+    def has_any(self) -> bool:
+        return self.latest_step() is not None or bool(self.available_tags())
 
 
 def _state_to_tree(state: Any) -> Dict:

@@ -10,8 +10,6 @@ while the current step computes.
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
@@ -56,8 +54,6 @@ class Loader:
     def epoch(self, epoch: int) -> Iterator[Dict]:
         order = seeded_epoch_order(self.n, self.seed, epoch)
         n_batches = len(self)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
         def sample_rng(idx):
             return np.random.default_rng(np.random.SeedSequence([self.seed, epoch, int(idx)]))
@@ -76,22 +72,25 @@ class Loader:
                 batch = self.put_fn(batch)
             return batch
 
-        def producer():
+        # Real worker pool (the reference uses 11 DataLoader workers,
+        # main_synapse.py:170-178): each batch is one pool task; the scipy/cv2
+        # augmentation kernels release the GIL, so threads overlap. Determinism is
+        # index-keyed RNG, so completion order can't change the data. Batches are
+        # yielded strictly in order; at most ``prefetch`` finished batches plus the
+        # in-flight tasks are buffered ahead of the consumer.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(self.num_threads, 1)) as pool:
+            window = max(self.num_threads, 1) + self.prefetch
+            futures = {b: pool.submit(build_batch, b) for b in range(min(window, n_batches))}
+            next_submit = len(futures)
             try:
                 for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    q.put(build_batch(b))
+                    batch = futures.pop(b).result()
+                    if next_submit < n_batches:
+                        futures[next_submit] = pool.submit(build_batch, next_submit)
+                        next_submit += 1
+                    yield batch
             finally:
-                q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    break
-                yield batch
-        finally:
-            stop.set()
+                for f in futures.values():
+                    f.cancel()

@@ -42,7 +42,7 @@ class VolumeInferencer:
         self.cfg = cfg
 
     def predict_volume(self, image: np.ndarray) -> np.ndarray:
-        """image (D, H, W) float → label volume (D, H, W) int32."""
+        """image (D, H, W) float → label volume (D, H, W) uint8."""
         d, h, w = image.shape
         s = self.cfg.img_size
         x = jnp.asarray(image, jnp.float32)[..., None]  # (D, H, W, 1)
@@ -55,16 +55,25 @@ class VolumeInferencer:
         pad = (-d) % c
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, s, s, 1), x.dtype)], axis=0)
-        preds = []
-        for i in range(0, d + pad, c):
-            probs = self.predict_fn(x[i : i + c])
-            # uint8 labels (num_classes ≤ 255): 4× less device→host traffic
-            preds.append(jnp.argmax(probs, axis=-1).astype(jnp.uint8))
-        pred = jnp.concatenate(preds, axis=0)[:d]  # (D, s, s)
+        # Dispatch every chunk before pulling any result: XLA dispatch is async, so
+        # the device→host transfer of chunk i overlaps the compute of chunk i+1
+        # (the reference ping-pongs one slice at a time, utils_synapse.py:50-81).
+        outs = [
+            jnp.argmax(self.predict_fn(x[i : i + c]), axis=-1).astype(jnp.uint8)
+            for i in range(0, d + pad, c)
+        ]
+        pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:d]  # (D, s, s)
 
         if (h, w) != (s, s):
-            pred = F.zoom_nearest(pred[..., None], (h, w))[..., 0]
-        return np.asarray(pred)
+            # Nearest back-zoom on HOST: only s² uint8 per slice crosses the link
+            # (≈5× less transfer at 512² CT); pure indexing reproduces
+            # F.zoom_nearest / scipy order-0 exactly (same index map).
+            idx_h, valid_h = F._zoom_nearest_indices(s, h)
+            idx_w, valid_w = F._zoom_nearest_indices(s, w)
+            pred = pred[:, idx_h][:, :, idx_w]
+            valid = np.logical_and.outer(valid_h, valid_w)
+            pred = np.where(valid[None], pred, np.uint8(0))
+        return pred
 
     def evaluate_case(
         self,

@@ -184,16 +184,20 @@ class MultiheadDiffAttn(nn.Module):
                 weights = weights + rel_pos
             attn = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
         else:
-            # Memory-efficient path: (A₁ − λ·A₂)·V = A₁V − λ·A₂V, so the two softmax
-            # groups (even/odd interleaved heads after the (B,2h,..)→(B,h,2,..)
-            # reshape) become two independent attention-core calls — the N×N map is
-            # never materialized. Numerically identical softmax (fp32, full rows).
-            # (Merging both groups into one call with V duplicated was measured
-            # SLOWER — the duplicated V doubles the dV backward work.)
-            core = get_attention_core(self.attn_impl)
-            out1 = core(qs[:, 0::2], k[:, 0::2], v)
-            out2 = core(qs[:, 1::2], k[:, 1::2], v)
-            attn = out1 - lambda_full * out2
+            # Memory-efficient path: (A₁ − λ·A₂)·V with the two softmax groups
+            # (even/odd interleaved heads after the (B,2h,..)→(B,h,2,..) reshape)
+            # routed through the fused diff-attention core — on TPU ONE Pallas
+            # kernel exploiting the shared V (single (P₁−λP₂)·V matmul, combined
+            # dV, dλ for free); off-TPU two chunked-scan calls. The N×N map is
+            # never materialized; softmax numerics identical (fp32, full rows).
+            # (Merging by duplicating V instead was measured SLOWER in round 1 —
+            # it doubles the dV backward work; the shared-V kernel halves it.)
+            from cenet_tpu.ops.flash_attention import diff_attention_core
+
+            attn = diff_attention_core(
+                qs[:, 0::2], k[:, 0::2], qs[:, 1::2], k[:, 1::2], v,
+                lambda_full.astype(jnp.float32), impl=self.attn_impl,
+            )
 
         attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)
         attn = attn * (1 - lambda_init)

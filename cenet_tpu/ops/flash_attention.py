@@ -59,6 +59,35 @@ def chunked_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, q_chu
     return out[:, :, :n]
 
 
+def diff_attention_core(q1, k1, q2, k2, v, lam, impl: str = "pallas") -> jnp.ndarray:
+    """softmax(q1·k1ᵀ)·V − λ·softmax(q2·k2ᵀ)·V with shared V (q pre-scaled).
+
+    On TPU with ``impl='pallas'`` this is the fused
+    :func:`cenet_tpu.ops.pallas_attention.pallas_diff_attention` kernel — one
+    (P₁ − λP₂)·V matmul, one combined dV, shared dO·Vᵀ, dλ for free. Elsewhere it
+    decomposes into two core calls (identical numerics to the reference's
+    A₁V − λA₂V order of operations).
+    """
+    b, h, n, _ = q1.shape
+    m = k1.shape[2]
+    small = b * h * n * m * 4 <= 32 * 1024 * 1024
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if impl == "pallas" and on_tpu and not small:
+        try:
+            from cenet_tpu.ops.pallas_attention import pallas_diff_attention
+
+            return pallas_diff_attention(q1, k1, q2, k2, v, lam.astype(jnp.float32))
+        except Exception:
+            pass
+    if small or impl == "xla":
+        out1 = jnp.einsum("bhnm,bhmd->bhnd", _softmax_fp32(jnp.einsum("bhnd,bhmd->bhnm", q1, k1)), v)
+        out2 = jnp.einsum("bhnm,bhmd->bhnd", _softmax_fp32(jnp.einsum("bhnd,bhmd->bhnm", q2, k2)), v)
+    else:
+        out1 = chunked_attention_core(q1, k1, v)
+        out2 = chunked_attention_core(q2, k2, v)
+    return out1 - lam.astype(out1.dtype) * out2
+
+
 def flash_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused Pallas attention on TPU; chunked-XLA fallback elsewhere.
 

@@ -28,6 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float("-inf")
 
+# The default scoped-VMEM budget (16 MB) is conservative; the diff-attention
+# kernels keep two softmax groups' temporaries live and need more headroom.
+_VMEM_64M = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -297,6 +301,273 @@ def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: 
     dk = dk[:, :m, :d].reshape(b, h, m, d)
     dv = dv[:, :m, :dv_dim].reshape(b, h, m, dv_dim)
     return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# fused differential attention: O = softmax(q1·k1ᵀ)·V − λ·softmax(q2·k2ᵀ)·V
+# ---------------------------------------------------------------------------
+#
+# V is SHARED between the two softmax groups (reference diff-attention,
+# multihead_diffattn.py:100-121), which is exactly what the two-independent-calls
+# formulation cannot exploit: here the forward does ONE (P1 − λP2)·V matmul, the
+# backward ONE combined dV = (P1 − λP2)ᵀ·dO and ONE shared G = dO·Vᵀ, and
+# dλ = −⟨P2, G⟩ falls out as a free VPU reduction (no extra P2·V matmul).
+# MXU matmuls per q/kv block: fwd 3 (vs 4), dq 5 (vs 6), dkv 6 (vs 8).
+
+
+def _diff_fwd_kernel(lam_ref, q1_ref, k1_ref, q2_ref, k2_ref, v_ref, o_ref, l1_ref, l2_ref, *, m_valid: int):
+    lam = lam_ref[0, 0]
+    q1, q2 = q1_ref[0], q2_ref[0]  # (bq, Dp)
+    k1, k2 = k1_ref[0], k2_ref[0]  # (Mp, Dp)
+    v = v_ref[0]  # (Mp, DVp)
+    s1 = jax.lax.dot_general(q1, k1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    s1 = _masked_logits(s1, m_valid)
+    s2 = _masked_logits(s2, m_valid)
+    m1 = jnp.max(s1, axis=-1, keepdims=True)
+    m2 = jnp.max(s2, axis=-1, keepdims=True)
+    e1 = jnp.exp(s1 - m1)
+    e2 = jnp.exp(s2 - m2)
+    d1 = jnp.sum(e1, axis=-1, keepdims=True)
+    d2 = jnp.sum(e2, axis=-1, keepdims=True)
+    w = e1 / d1 - lam * (e2 / d2)  # (bq, Mp) fp32
+    o = jax.lax.dot_general(w.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+    l1_ref[0] = jnp.broadcast_to(m1 + jnp.log(d1), (q1.shape[0], 8))
+    l2_ref[0] = jnp.broadcast_to(m2 + jnp.log(d2), (q2.shape[0], 8))
+
+
+def _diff_fwd_impl(q1, k1, q2, k2, v, lam, block_q: int = 256, interpret: bool = False, with_lse: bool = False):
+    b, h, n, d = q1.shape
+    m = k1.shape[2]
+    dv = v.shape[-1]
+    # Head dims stay NARROW (block last-dim == array dim is legal): padding d/dv
+    # to 128 in HBM cost ~4 ms/step of pad/copy kernels and 30x the HBM footprint
+    # at DSEB1 shapes (d=4). Mosaic pads lanes internally at no HBM cost.
+    dp, dvp = d, dv
+    mp = _round_up(m, 128)
+    bq = min(block_q, _round_up(n, 128))
+    np_ = _round_up(n, bq)
+    bh = b * h
+
+    def packq(x):
+        x = x.reshape(bh, n, d)
+        return x if np_ == n else jnp.zeros((bh, np_, d), x.dtype).at[:, :n].set(x)
+
+    def packk(x):
+        x = x.reshape(bh, m, x.shape[-1])
+        return x if mp == m else jnp.zeros((bh, mp, x.shape[-1]), x.dtype).at[:, :m].set(x)
+
+    vf = packk(v)
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+
+    out, l1, l2 = pl.pallas_call(
+        functools.partial(_diff_fwd_kernel, m_valid=m),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, np_, dvp), q1.dtype),
+            jax.ShapeDtypeStruct((bh, np_, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bh, np_, 8), jnp.float32),
+        ),
+        grid=(bh, np_ // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_VMEM_64M,
+        interpret=interpret,
+    )(lam2, packq(q1), packk(k1), packq(q2), packk(k2), vf)
+    o = out[:, :n, :dv].reshape(b, h, n, dv)
+    if with_lse:
+        return o, l1[:, :n, 0].reshape(b, h, n), l2[:, :n, 0].reshape(b, h, n)
+    return o
+
+
+def _diff_dq_kernel(lam_ref, q1_ref, k1_ref, q2_ref, k2_ref, v_ref, do_ref, l1_ref, l2_ref,
+                    dq1_ref, dq2_ref, d1_ref, d2_ref, dl_ref, *, m_valid: int):
+    lam = lam_ref[0, 0]
+    q1, q2 = q1_ref[0], q2_ref[0]
+    k1, k2 = k1_ref[0], k2_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse1 = l1_ref[0][:, 0:1]
+    lse2 = l2_ref[0][:, 0:1]
+    g = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # Sequential group processing (one group's (bq, Mp) fp32 temps live at a time)
+    # to stay inside VMEM; G is computed once and shared.
+    def group(q, k, lse):
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp(_masked_logits(s, m_valid) - lse)
+        delta = jnp.sum(p * g, axis=-1, keepdims=True)
+        ds = p * (g - delta)
+        dq = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dq, delta
+
+    dq1, delta1 = group(q1, k1, lse1)
+    dq1_ref[0] = dq1.astype(dq1_ref.dtype)
+    d1_ref[0] = jnp.broadcast_to(delta1, (q1.shape[0], 8))
+    dq2, delta2 = group(q2, k2, lse2)
+    dq2_ref[0] = (-lam * dq2).astype(dq2_ref.dtype)
+    d2_ref[0] = jnp.broadcast_to(delta2, (q2.shape[0], 8))
+    # dλ = −⟨P2, G⟩: per-ROW partials (−Σ_m P2∘G), summed outside. Padded rows
+    # carry lse=0 ⇒ p2=exp(s2) garbage, but their do/g rows are 0 ⇒ contribution 0.
+    # Note delta2 IS the row-sum of p2∘g, so this is free.
+    dl_ref[0] = jnp.broadcast_to(-delta2, (q2.shape[0], 8))
+
+
+def _diff_dkv_kernel(lam_ref, q1_ref, k1_ref, q2_ref, k2_ref, v_ref, do_ref, l1_ref, l2_ref,
+                     dd1_ref, dd2_ref, dk1_ref, dk2_ref, dv_ref, *, n_valid: int):
+    lam = lam_ref[0, 0]
+    q1, q2 = q1_ref[0], q2_ref[0]  # (Np, Dp)
+    k1b, k2b = k1_ref[0], k2_ref[0]  # (bk, Dp)
+    vb = v_ref[0]  # (bk, DVp)
+    do = do_ref[0]  # (Np, DVp)
+    lse1 = l1_ref[0][:, 0:1]
+    lse2 = l2_ref[0][:, 0:1]
+    delta1 = dd1_ref[0][:, 0:1]
+    delta2 = dd2_ref[0][:, 0:1]
+    g = jax.lax.dot_general(do, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # (Np, bk)
+
+    # Groups processed SEQUENTIALLY so only one group's (Np, bk) fp32 temporaries
+    # are live at a time — both-groups-at-once overflowed VMEM (18.25 MB at DSEB1
+    # shapes). G is still shared; the combined dv becomes two accumulating matmuls.
+    def group(q, kb, lse, delta, row_mask):
+        s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)
+        if row_mask is not None:
+            p = jnp.where(row_mask, p, 0.0)
+        ds = p * (g - delta)
+        dk = jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    np_ = q1.shape[0]
+    row_mask = None
+    if n_valid < np_:
+        row = jax.lax.broadcasted_iota(jnp.int32, (np_, k1b.shape[0]), 0)
+        row_mask = row < n_valid
+    dk1, dv1 = group(q1, k1b, lse1, delta1, row_mask)
+    dk1_ref[0] = dk1.astype(dk1_ref.dtype)
+    dk2, dv2 = group(q2, k2b, lse2, delta2, row_mask)
+    dk2_ref[0] = (-lam * dk2).astype(dk2_ref.dtype)
+    dv_ref[0] = (dv1 - lam * dv2).astype(dv_ref.dtype)
+
+
+def _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, lse1, lse2, g,
+                   block_q: int = 256, block_k: int = 256, interpret: bool = False):
+    b, h, n, d = q1.shape
+    m = k1.shape[2]
+    dv_dim = v.shape[-1]
+    dp, dvp = d, dv_dim  # narrow head dims; see _diff_fwd_impl
+    bq = min(block_q, _round_up(n, 128))
+    np_ = _round_up(n, bq)
+    bk = min(block_k, _round_up(m, 128))
+    mp = _round_up(_round_up(m, 128), bk)
+    bh = b * h
+
+    def packq(x):
+        x = x.reshape(bh, n, x.shape[-1])
+        return x if np_ == n else jnp.zeros((bh, np_, x.shape[-1]), x.dtype).at[:, :n].set(x)
+
+    def packk(x):
+        x = x.reshape(bh, m, x.shape[-1])
+        return x if mp == m else jnp.zeros((bh, mp, x.shape[-1]), x.dtype).at[:, :m].set(x)
+
+    q1f, q2f, k1f, k2f = packq(q1), packq(q2), packk(k1), packk(k2)
+    vf = packk(v)
+    gf = packq(g)
+    l1f = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(lse1.reshape(bh, n, 1))
+    l2f = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(lse2.reshape(bh, n, 1))
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    qspec = pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kfull = pl.BlockSpec((1, mp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    vfull = pl.BlockSpec((1, mp, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    dospec = pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+
+    dq1, dq2, dd1, dd2, dl = pl.pallas_call(
+        functools.partial(_diff_dq_kernel, m_valid=m),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, np_, dp), q1.dtype),
+            jax.ShapeDtypeStruct((bh, np_, dp), q2.dtype),
+            jax.ShapeDtypeStruct((bh, np_, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bh, np_, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bh, np_, 8), jnp.float32),
+        ),
+        grid=(bh, np_ // bq),
+        in_specs=[smem, qspec, kfull, qspec, kfull, vfull, dospec, lspec, lspec],
+        out_specs=(qspec, qspec, lspec, lspec, lspec),
+        compiler_params=_VMEM_64M,
+        interpret=interpret,
+    )(lam2, q1f, k1f, q2f, k2f, vf, gf, l1f, l2f)
+
+    qfullspec = pl.BlockSpec((1, np_, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    kblk = pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    vblk = pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    dofull = pl.BlockSpec((1, np_, dvp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    lfull = pl.BlockSpec((1, np_, 8), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    dk1, dk2, dv = pl.pallas_call(
+        functools.partial(_diff_dkv_kernel, n_valid=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, mp, dp), k1.dtype),
+            jax.ShapeDtypeStruct((bh, mp, dp), k2.dtype),
+            jax.ShapeDtypeStruct((bh, mp, dvp), v.dtype),
+        ),
+        grid=(bh, mp // bk),
+        in_specs=[smem, qfullspec, kblk, qfullspec, kblk, vblk, dofull, lfull, lfull, lfull, lfull],
+        out_specs=(kblk, kblk, vblk),
+        compiler_params=_VMEM_64M,
+        interpret=interpret,
+    )(lam2, q1f, k1f, q2f, k2f, vf, gf, l1f, l2f, dd1, dd2)
+
+    dq1 = dq1[:, :n, :d].reshape(b, h, n, d)
+    dq2 = dq2[:, :n, :d].reshape(b, h, n, d)
+    dk1 = dk1[:, :m, :d].reshape(b, h, m, d)
+    dk2 = dk2[:, :m, :d].reshape(b, h, m, d)
+    dvv = dv[:, :m, :dv_dim].reshape(b, h, m, dv_dim)
+    dlam = jnp.sum(dl[:, :n, 0]).astype(jnp.float32)  # per-row partials; lane 0 of 8
+    return dq1, dk1, dq2, dk2, dvv, dlam
+
+
+@jax.custom_vjp
+def pallas_diff_attention(q1, k1, q2, k2, v, lam):
+    """softmax(q1·k1ᵀ)·V − λ·softmax(q2·k2ᵀ)·V fused on TPU (q1/q2 pre-scaled).
+
+    (B,H,N,D)×(B,H,M,D) per group, shared V (B,H,M,DV), scalar λ (fp32) with a real
+    gradient — the reference's diff-attention core (multihead_diffattn.py:100-121).
+    """
+    return _diff_fwd_impl(q1, k1, q2, k2, v, lam)
+
+
+def _diff_fwd(q1, k1, q2, k2, v, lam):
+    o, lse1, lse2 = _diff_fwd_impl(q1, k1, q2, k2, v, lam, with_lse=True)
+    return o, (q1, k1, q2, k2, v, lam, o, lse1, lse2)
+
+
+def _diff_bwd(res, g):
+    q1, k1, q2, k2, v, lam, o, lse1, lse2 = res
+    return _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, lse1, lse2, g)
+
+
+pallas_diff_attention.defvjp(_diff_fwd, _diff_bwd)
 
 
 @jax.custom_vjp

@@ -200,9 +200,32 @@ class Trainer:
             return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
 
         if self.mesh is not None:
-            return jax.jit(eval_step, in_shardings=(replicated(self.mesh), batch_sharding(self.mesh)),
+            # Params inherit their own shardings (replicated for DP, 'model'-axis
+            # sharded under TP) exactly like make_train_step — pinning them
+            # replicated here would re-gather TP-sharded attention weights.
+            return jax.jit(eval_step, in_shardings=(None, batch_sharding(self.mesh)),
                            out_shardings=batch_sharding(self.mesh))
         return jax.jit(eval_step)
+
+    def make_multi_eval_step(self, n_chunks: int) -> Callable:
+        """One dispatch runs ``n_chunks`` forward chunks (stacked on a leading axis)
+        via ``lax.scan`` — amortizes host dispatch latency for eval/volume inference
+        the same way ``make_multi_step`` does for training."""
+
+        def multi_eval(state: TrainState, images):
+            def body(_, im):
+                out = self.model.apply(state.as_variables(), im.astype(self.compute_dtype), train=False)
+                return None, jnp.argmax(out, axis=-1).astype(jnp.uint8)
+
+            _, preds = jax.lax.scan(body, None, images)
+            return preds
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            stacked = NamedSharding(self.mesh, P(None, "data"))
+            return jax.jit(multi_eval, in_shardings=(None, stacked), out_shardings=stacked)
+        return jax.jit(multi_eval)
 
     @property
     def train_step(self):

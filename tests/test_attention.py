@@ -314,3 +314,46 @@ def test_diffattn_cross_v1_matches_torch(rng):
     ours = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(qs)))
     ref = tmod(torch.from_numpy(to_nchw(x)), torch.from_numpy(to_nchw(qs))).detach().numpy()
     np.testing.assert_allclose(ours, to_nhwc(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_diffattn_cross_v2_matches_actual_reference(rng):
+    """V2 cross attention (query from encoder, no residual) vs the ACTUAL reference
+    module (multihead_diffattn.py:250-367), weights copied directly."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_loader import load_reference, reference_available
+
+    if not reference_available():
+        import pytest
+
+        pytest.skip("reference checkout unavailable")
+    load_reference()
+    from networks.cenet.modules.multihead_diffattn import MultiheadDiffAttnCrossV2
+
+    from cenet_tpu.nn.attention import MultiheadDiffAttnCross
+
+    e, heads, depth, hw = 16, 2, 1, 6
+    tmod = MultiheadDiffAttnCrossV2(e, depth, heads, H=hw, W=hw).eval()
+    x = rng.standard_normal((2, hw, hw, e)).astype(np.float32)
+    qs = rng.standard_normal((2, hw, hw, e)).astype(np.float32)
+    mod = MultiheadDiffAttnCross(e, depth=depth, num_heads=heads, variant="v2", spatial=hw)
+    variables = {
+        "params": {
+            "q_proj": {"weight": lin_w(tmod.q_proj)},
+            "k_proj": {"weight": lin_w(tmod.k_proj)},
+            "v_proj": {"weight": lin_w(tmod.v_proj)},
+            "out_proj": {"weight": lin_w(tmod.out_proj)},
+            "lambda_q1": jnp.asarray(tmod.lambda_q1.detach().numpy()),
+            "lambda_k1": jnp.asarray(tmod.lambda_k1.detach().numpy()),
+            "lambda_q2": jnp.asarray(tmod.lambda_q2.detach().numpy()),
+            "lambda_k2": jnp.asarray(tmod.lambda_k2.detach().numpy()),
+        }
+    }
+    ours = np.asarray(mod.apply(variables, jnp.asarray(x), jnp.asarray(qs)))
+    with torch.no_grad():
+        ref = tmod(
+            torch.from_numpy(to_nchw(x)).contiguous(), torch.from_numpy(to_nchw(qs)).contiguous()
+        ).numpy()
+    # reference raw-views (B, N, E) back to (B, E, W, H); same buffer as our
+    # untokenize for square maps
+    np.testing.assert_allclose(ours, to_nhwc(ref.reshape(2, e, hw, hw)), atol=2e-4, rtol=1e-3)

@@ -32,6 +32,22 @@ def test_loader_batches_and_determinism():
     assert b1[0]["image"].shape == (3, 4, 4, 1)
 
 
+def test_loader_pool_matches_serial_order():
+    """A 4-thread pool must yield identical batches in identical order to the
+    single-thread loader (index-keyed RNG ⇒ scheduling can't change the data)."""
+    import time
+
+    def get_sample(idx, rng):
+        time.sleep(0.001 * (idx % 5))  # jitter completion order across threads
+        return {"image": np.full((2, 2), idx, np.float32) + rng.random()}
+
+    serial = list(Loader(24, get_sample, batch_size=4, seed=3, num_threads=1).epoch(5))
+    pooled = list(Loader(24, get_sample, batch_size=4, seed=3, num_threads=4).epoch(5))
+    assert len(serial) == len(pooled) == 6
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
 def test_random_generator_output_shapes(rng):
     img = rng.standard_normal((256, 256)).astype(np.float32)
     lab = rng.integers(0, 4, (256, 256)).astype(np.float32)

@@ -140,3 +140,50 @@ def test_pallas_attention_bwd_fused_interpret_matches_autodiff(rng):
         np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4, rtol=2e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4, rtol=2e-4)
+
+
+def _diff_ref(q1, k1, q2, k2, v, lam):
+    from cenet_tpu.nn.attention import xla_attention_core
+
+    return xla_attention_core(q1, k1, v) - lam * xla_attention_core(q2, k2, v)
+
+
+def test_pallas_diff_attention_fwd_interpret_matches_naive(rng):
+    """Fused diff-attention forward (interpret) vs two naive cores, incl. padding."""
+    from cenet_tpu.ops.pallas_attention import _diff_fwd_impl
+
+    lam = jnp.asarray(0.37, jnp.float32)
+    for (b, h, n, m, d, dv) in [(2, 4, 100, 100, 4, 8), (1, 2, 196, 49, 16, 32), (1, 1, 300, 300, 8, 16)]:
+        q1 = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        q2 = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k1 = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        k2 = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        ref = _diff_ref(q1, k1, q2, k2, v, lam)
+        got = _diff_fwd_impl(q1, k1, q2, k2, v, lam, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_diff_attention_bwd_interpret_matches_autodiff(rng):
+    """Fused diff-attention backward (interpret) vs autodiff: dq1/dk1/dq2/dk2/dv/dλ."""
+    from cenet_tpu.ops.pallas_attention import _diff_bwd_impl, _diff_fwd_impl
+
+    lam = jnp.asarray(0.45, jnp.float32)
+    for (b, h, n, m, d, dv) in [(1, 2, 64, 64, 4, 8), (1, 1, 100, 49, 8, 24), (2, 2, 196, 196, 4, 8)]:
+        q1 = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        q2 = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k1 = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        k2 = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, h, n, dv)), jnp.float32)
+
+        def f(q1, k1, q2, k2, v, lam):
+            return jnp.sum(_diff_ref(q1, k1, q2, k2, v, lam) * g)
+
+        refs = jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(q1, k1, q2, k2, v, lam)
+        o, l1, l2 = _diff_fwd_impl(q1, k1, q2, k2, v, lam, interpret=True, with_lse=True)
+        gots = _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, l1, l2, g, interpret=True)
+        for name, got, ref in zip(["dq1", "dk1", "dq2", "dk2", "dv", "dlam"], gots, refs):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4, err_msg=name
+            )
