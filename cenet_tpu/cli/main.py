@@ -177,7 +177,11 @@ def run_train(cfg, args):
         log.info("loaded pretrained encoder from %s", pretrained)
     state = jax.device_put(state, dev)
 
-    loader = Loader(len(tr_ds), tr_ds.get_train, bs, seed=cfg.train.seed)
+    spc_cfg = max(cfg.train.steps_per_call, 1)
+    loader = Loader(
+        len(tr_ds), tr_ds.get_train, bs, seed=cfg.train.seed,
+        num_threads=cfg.data.num_workers, prefetch=spc_cfg + 2,
+    )
     ckpt = CheckpointManager(snap, keep=cfg.train.ckpt_keep)
     meter = Throughput()
     best_val = best_test = 0.0
@@ -201,9 +205,22 @@ def run_train(cfg, args):
         it = int(state.step)
         start_epoch = it // max(iters_per_epoch, 1)
         log.info("resumed from %s at iter %d (epoch %d, momentum restored)", src, it, start_epoch)
-    spc = max(cfg.train.steps_per_call, 1)
+    spc = max(1, min(cfg.train.steps_per_call, iters_per_epoch))
     mstep = trainer.make_multi_step(spc) if spc > 1 else None
     pending = []
+
+    def flush_pending():
+        # epoch-boundary flush: run leftover (< spc) batches as single steps so
+        # end-of-epoch eval/checkpoints see a fully-trained state
+        nonlocal state, it
+        while pending:
+            b0 = pending.pop(0)
+            im = jax.device_put(jnp.asarray(b0["image"]), dev)
+            lb = jax.device_put(jnp.asarray(b0["label"]), dev)
+            state, _ = trainer.train_step(state, im, lb, jax.random.fold_in(rng, it))
+            meter.step(bs)
+            it += 1
+
     for epoch in range(start_epoch, cfg.train.max_epochs):
         for batch in loader.epoch(epoch):
             if mstep is None:
@@ -248,6 +265,7 @@ def run_train(cfg, args):
                     writer.image("train/GroundTruth", gt0[None], it)
                 except Exception:
                     pass
+        flush_pending()
         # eval / checkpoint policies (reference: main_synapse.py:297-309,
         # main_acdc.py:270-283, main_skin.py:261-270)
         if cfg.data.dataset == "synapse":
@@ -383,6 +401,13 @@ def run_eval(cfg, args):
     elif ckpt_path and ckpt_path.endswith(".npz"):
         tree = _load_npz(ckpt_path)
         state = dataclasses.replace(state, params=tree["params"], batch_stats=tree["batch_stats"])
+    elif ckpt_path and os.path.isdir(ckpt_path) and not any(
+        os.path.isdir(os.path.join(ckpt_path, d)) for d in ("steps", "best", "final")
+    ):
+        # --checkpoint pointing directly at one Orbax tag dir (<snap>/best etc.)
+        from cenet_tpu.core.checkpoint import restore_tag_dir
+
+        state = restore_tag_dir(ckpt_path, state)
     else:
         # reference fallback order (main_acdc.py:158-160): best, then final
         mgr = CheckpointManager(ckpt_path or snap)

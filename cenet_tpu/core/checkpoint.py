@@ -116,6 +116,23 @@ class CheckpointManager:
         return self.latest_step() is not None or bool(self.available_tags())
 
 
+def restore_tag_dir(path: str, template_state: Any) -> Any:
+    """Restore a full TrainState from a single Orbax checkpoint directory (e.g. a
+    path produced by a tagged save: ``<snap>/final``)."""
+    import dataclasses
+
+    tree = ocp.StandardCheckpointer().restore(
+        os.path.abspath(path), target=_state_to_tree(template_state)
+    )
+    if hasattr(template_state, "params"):
+        return dataclasses.replace(
+            template_state,
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"], step=tree["step"],
+        )
+    return tree
+
+
 def _state_to_tree(state: Any) -> Dict:
     if hasattr(state, "params"):
         return {

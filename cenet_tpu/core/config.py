@@ -94,7 +94,7 @@ def get_preset(name: str) -> ExperimentConfig:
             train=TrainConfig(
                 max_epochs=250, batch_size=8, base_lr=0.015, optimizer="sgd",
                 scheduler="poly", loss_type="boundary", loss_weights="1.0",
-                eval_interval=20,
+                eval_interval=20, steps_per_call=10,
             ),
             data=DataConfig(dataset="synapse", z_spacing=1),
         )
@@ -109,6 +109,7 @@ def get_preset(name: str) -> ExperimentConfig:
             train=TrainConfig(
                 max_epochs=120, batch_size=8, base_lr=0.01, optimizer="sgd",
                 scheduler="poly", loss_type="boundary", loss_weights="1.0",
+                steps_per_call=10,
             ),
             data=DataConfig(dataset="acdc"),
         )

@@ -69,12 +69,68 @@ def random_generator(image: np.ndarray, label: np.ndarray, out_size: int, rng: n
 # ---------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _pixel_grid(h: int, w: int):
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+    return yy, xx
+
+
+def _sample_bilinear(img: np.ndarray, yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
+    """Vectorized bilinear resample with constant-0 boundary — identical semantics
+    to ``ndimage.map_coordinates(order=1, mode='constant', cval=0)`` but ~8× faster
+    (the 1-core host is the training bottleneck otherwise; see PERF_NOTES)."""
+    h, w = img.shape
+    y0 = np.floor(yy)
+    x0 = np.floor(xx)
+    wy = yy - y0
+    wx = xx - x0
+    y0i = y0.astype(np.int64)
+    x0i = x0.astype(np.int64)
+    out = np.zeros(yy.shape, np.float32)
+    for dy, wyv in ((0, 1.0 - wy), (1, wy)):
+        for dx, wxv in ((0, 1.0 - wx), (1, wx)):
+            yi = y0i + dy
+            xi = x0i + dx
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            v = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+            out += np.where(valid, v, 0.0).astype(np.float32) * (wyv * wxv)
+    return out
+
+
+def _sample_nearest(img: np.ndarray, yy: np.ndarray, xx: np.ndarray) -> np.ndarray:
+    """``map_coordinates(order=0, mode='constant')`` equivalent (round-half-up)."""
+    h, w = img.shape
+    yi = np.floor(yy + 0.5).astype(np.int64)
+    xi = np.floor(xx + 0.5).astype(np.int64)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    v = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+    return np.where(valid, v, 0.0).astype(img.dtype)
+
+
 def _affine_pair(image, label, matrix, offset):
     """Apply an inverse-mapped affine to image (order-1, like imgaug default) and
-    label (order-0)."""
-    img = ndimage.affine_transform(image, matrix, offset=offset, order=1, mode="constant", cval=0.0)
-    lab = ndimage.affine_transform(label, matrix, offset=offset, order=0, mode="constant", cval=0.0)
-    return img, lab
+    label (order-0). cv2.warpAffine when available — SIMD (~50× faster than the
+    scipy spline path on the 1-core host) and the SAME backend imgaug itself uses;
+    numpy fallback otherwise."""
+    if cv2 is not None:
+        h, w = image.shape
+        # our (y, x) inverse map -> cv2's (x, y) src = M·dst convention
+        mcv = np.array(
+            [[matrix[1, 1], matrix[1, 0], offset[1]], [matrix[0, 1], matrix[0, 0], offset[0]]],
+            np.float64,
+        )
+        flags = cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR
+        img = cv2.warpAffine(image, mcv, (w, h), flags=flags, borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+        lab = cv2.warpAffine(label, mcv, (w, h), flags=cv2.WARP_INVERSE_MAP | cv2.INTER_NEAREST,
+                             borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+        return img, lab
+    yy, xx = _pixel_grid(h := image.shape[0], w := image.shape[1])
+    sy = np.float32(matrix[0, 0]) * yy + np.float32(matrix[0, 1]) * xx + np.float32(offset[0])
+    sx = np.float32(matrix[1, 0]) * yy + np.float32(matrix[1, 1]) * xx + np.float32(offset[1])
+    return _sample_bilinear(image, sy, sx), _sample_nearest(label, sy, sx)
 
 
 def _center_affine(image, label, a, b, c, d):
@@ -135,8 +191,7 @@ class SynapseAug:
             h, w = image.shape
             ty = rng.uniform(-0.2, 0.2) * h
             tx = rng.uniform(-0.2, 0.2) * w
-            image = ndimage.shift(image, (ty, tx), order=1, mode="constant")
-            label = ndimage.shift(label, (ty, tx), order=0, mode="constant")
+            image, label = _affine_pair(image, label, np.eye(2), np.array([-ty, -tx]))
         return image, label
 
     @staticmethod
@@ -144,12 +199,23 @@ class SynapseAug:
         """Smooth displacement field from a coarse jittered grid (PiecewiseAffine-like)."""
         h, w = image.shape
         disp = rng.normal(0, scale * min(h, w), (2, grid, grid))
-        dy = ndimage.zoom(disp[0], (h / grid, w / grid), order=3)[:h, :w]
-        dx = ndimage.zoom(disp[1], (h / grid, w / grid), order=3)[:h, :w]
-        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        coords = np.stack([yy + dy, xx + dx])
-        img = ndimage.map_coordinates(image, coords, order=1, mode="constant")
-        lab = ndimage.map_coordinates(label, coords, order=0, mode="constant")
+        # cached separable spline-zoom operators: dy = Zy · D · Zxᵀ (exact
+        # scipy.ndimage.zoom order-3 semantics via the operator matrices)
+        from cenet_tpu.nn.functional import scipy_zoom_matrix
+
+        zy = np.asarray(scipy_zoom_matrix(grid, h, order=3), np.float32)
+        zx = np.asarray(scipy_zoom_matrix(grid, w, order=3), np.float32)
+        dy = zy @ disp[0].astype(np.float32) @ zx.T
+        dx = zy @ disp[1].astype(np.float32) @ zx.T
+        yy, xx = _pixel_grid(h, w)
+        if cv2 is not None:
+            mapx = (xx + dx).astype(np.float32)
+            mapy = (yy + dy).astype(np.float32)
+            img = cv2.remap(image, mapx, mapy, cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+            lab = cv2.remap(label, mapx, mapy, cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+            return img, lab
+        img = _sample_bilinear(image, yy + dy, xx + dx)
+        lab = _sample_nearest(label, yy + dy, xx + dx)
         return img, lab
 
 

@@ -468,6 +468,124 @@ def _diff_dkv_kernel(lam_ref, q1_ref, k1_ref, q2_ref, k2_ref, v_ref, do_ref, l1_
     dv_ref[0] = (dv1 - lam * dv2).astype(dv_ref.dtype)
 
 
+def _diff_bwd_onekernel(lam_ref, q1_ref, k1_ref, q2_ref, k2_ref, v_ref, do_ref, l1_ref, l2_ref,
+                        dq1_ref, dq2_ref, dk1_ref, dk2_ref, dv_ref, dl_ref, *, m_valid: int):
+    """Whole backward in one kernel, grid (B·H, N/bq).
+
+    Per q block: S/G are computed ONCE and produce dq blocks directly, while
+    dk/dv — narrow (M, d≤8·lanes) fp32 accumulators — live in revisited output
+    blocks across the q loop (the grid's inner dim), so the dkv kernel's S/G
+    recompute disappears: 9 N²-scale matmuls total vs 12 for the dq+dkv split.
+    Deltas are per-q-row and computed in place (no separate delta pass).
+    """
+    lam = lam_ref[0, 0]
+    v = v_ref[0]
+    do = do_ref[0]
+    g = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    first = pl.program_id(1) == 0
+
+    def group(q, k, lse, dq_ref_, dk_ref_, neg_scale):
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        p = jnp.exp(_masked_logits(s, m_valid) - lse)
+        delta = jnp.sum(p * g, axis=-1, keepdims=True)
+        ds = p * (g - delta)
+        dq = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref_[0] = (neg_scale * dq).astype(dq_ref_.dtype)
+        dk = neg_scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dvp = neg_scale * jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+        @pl.when(first)
+        def _():
+            dk_ref_[0] = dk
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dk_ref_[0] += dk
+        return delta, dvp
+
+    _, dv1 = group(q1_ref[0], k1_ref[0], l1_ref[0][:, 0:1], dq1_ref, dk1_ref, 1.0)
+    delta2, dv2 = group(q2_ref[0], k2_ref[0], l2_ref[0][:, 0:1], dq2_ref, dk2_ref, -lam)
+    dl_ref[0] = jnp.broadcast_to(-delta2, (q2_ref[0].shape[0], 8))
+
+    @pl.when(first)
+    def _():
+        dv_ref[0] = dv1 + dv2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dv_ref[0] += dv1 + dv2
+
+
+def _diff_bwd_onekernel_impl(q1, k1, q2, k2, v, lam, lse1, lse2, g,
+                             block_q: int = 256, interpret: bool = False):
+    b, h, n, d = q1.shape
+    m = k1.shape[2]
+    dv_dim = v.shape[-1]
+    bq = min(block_q, _round_up(n, 128))
+    np_ = _round_up(n, bq)
+    mp = _round_up(m, 128)
+    bh = b * h
+
+    def packq(x):
+        x = x.reshape(bh, n, x.shape[-1])
+        return x if np_ == n else jnp.zeros((bh, np_, x.shape[-1]), x.dtype).at[:, :n].set(x)
+
+    def packk(x):
+        x = x.reshape(bh, m, x.shape[-1])
+        return x if mp == m else jnp.zeros((bh, mp, x.shape[-1]), x.dtype).at[:, :m].set(x)
+
+    q1f, q2f, k1f, k2f, vf = packq(q1), packq(q2), packk(k1), packk(k2), packk(v)
+    gf = packq(g)
+    l1f = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(lse1.reshape(bh, n, 1))
+    l2f = jnp.zeros((bh, np_, 8), jnp.float32).at[:, :n, :].set(lse2.reshape(bh, n, 1))
+    lam2 = jnp.asarray(lam, jnp.float32).reshape(1, 1)
+
+    smem = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    qspec = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kfull = pl.BlockSpec((1, mp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    vfull = pl.BlockSpec((1, mp, dv_dim), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    dospec = pl.BlockSpec((1, bq, dv_dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+
+    dq1, dq2, dk1, dk2, dv, dl = pl.pallas_call(
+        functools.partial(_diff_bwd_onekernel, m_valid=m),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, np_, d), q1.dtype),
+            jax.ShapeDtypeStruct((bh, np_, d), q2.dtype),
+            jax.ShapeDtypeStruct((bh, mp, d), jnp.float32),  # fp32 accumulators
+            jax.ShapeDtypeStruct((bh, mp, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, mp, dv_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh, np_, 8), jnp.float32),
+        ),
+        grid=(bh, np_ // bq),
+        in_specs=[smem, qspec, kfull, qspec, kfull, vfull, dospec, lspec, lspec],
+        out_specs=(
+            qspec,
+            qspec,
+            pl.BlockSpec((1, mp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, dv_dim), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            lspec,
+        ),
+        compiler_params=_VMEM_64M,
+        interpret=interpret,
+    )(lam2, q1f, k1f, q2f, k2f, vf, gf, l1f, l2f)
+
+    dq1 = dq1[:, :n].reshape(b, h, n, d)
+    dq2 = dq2[:, :n].reshape(b, h, n, d)
+    dk1 = dk1[:, :m].reshape(b, h, m, d).astype(k1.dtype)
+    dk2 = dk2[:, :m].reshape(b, h, m, d).astype(k2.dtype)
+    dvv = dv[:, :m].reshape(b, h, m, dv_dim).astype(v.dtype)
+    dlam = jnp.sum(dl[:, :n, 0]).astype(jnp.float32)
+    return dq1, dk1, dq2, dk2, dvv, dlam
+
+
 def _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, lse1, lse2, g,
                    block_q: int = 256, block_k: int = 256, interpret: bool = False):
     b, h, n, d = q1.shape
@@ -564,7 +682,9 @@ def _diff_fwd(q1, k1, q2, k2, v, lam):
 
 def _diff_bwd(res, g):
     q1, k1, q2, k2, v, lam, o, lse1, lse2 = res
-    return _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, lse1, lse2, g)
+    # One-kernel backward (dk/dv accumulated in revisited narrow fp32 blocks):
+    # 9 N²-scale matmuls vs 12 for the dq+dkv split (measured faster at DSEB1).
+    return _diff_bwd_onekernel_impl(q1, k1, q2, k2, v, lam, lse1, lse2, g)
 
 
 pallas_diff_attention.defvjp(_diff_fwd, _diff_bwd)

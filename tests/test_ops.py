@@ -187,3 +187,28 @@ def test_pallas_diff_attention_bwd_interpret_matches_autodiff(rng):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4, err_msg=name
             )
+
+
+def test_pallas_diff_attention_bwd_onekernel_matches_autodiff(rng):
+    """One-kernel backward (dk/dv accumulated across q blocks) vs autodiff."""
+    from cenet_tpu.ops.pallas_attention import _diff_bwd_onekernel_impl, _diff_fwd_impl
+
+    lam = jnp.asarray(0.45, jnp.float32)
+    for (b, h, n, m, d, dv) in [(1, 2, 64, 64, 4, 8), (1, 1, 100, 49, 8, 24), (2, 2, 300, 300, 4, 8)]:
+        q1 = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        q2 = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+        k1 = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        k2 = jnp.asarray(rng.standard_normal((b, h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, h, n, dv)), jnp.float32)
+
+        def f(q1, k1, q2, k2, v, lam):
+            return jnp.sum(_diff_ref(q1, k1, q2, k2, v, lam) * g)
+
+        refs = jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(q1, k1, q2, k2, v, lam)
+        _, l1, l2 = _diff_fwd_impl(q1, k1, q2, k2, v, lam, interpret=True, with_lse=True)
+        gots = _diff_bwd_onekernel_impl(q1, k1, q2, k2, v, lam, l1, l2, g, block_q=128, interpret=True)
+        for name, got, ref in zip(["dq1", "dk1", "dq2", "dk2", "dv", "dlam"], gots, refs):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4, err_msg=name
+            )
