@@ -65,10 +65,10 @@ def main():
     # Headline metric: sustained training throughput via the multi-step path
     # (K optimizer steps per dispatch, distinct batches per step), which is how a
     # production loop runs when the host link is slow.
-    # K=50: the per-call dispatch overhead through the tunnel is ~150-200 ms
-    # regardless of K (measured K=10 vs K=50), so a production loop amortizes it
-    # with deep multi-step dispatch (cfg.train.steps_per_call).
-    K = 50
+    # Deep multi-step dispatch: the per-call overhead through the tunnel is
+    # ~150-300 ms regardless of K (measured K=10/50/100), so a production loop
+    # amortizes it (cfg.train.steps_per_call); K=100 measured 43.1 vs 44.3 ms/step.
+    K = 100
     rng = jax.random.PRNGKey(0)
     mstep = tr.make_multi_step(K)
     im_stack = jnp.stack([images + 0.01 * i for i in range(K)])
@@ -76,7 +76,7 @@ def main():
     state, loss = mstep(state, im_stack, lb_stack, rng)  # compile
     float(loss)
 
-    n_calls = 3
+    n_calls = 2
     t0 = time.time()
     for i in range(n_calls):
         state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))

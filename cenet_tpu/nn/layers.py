@@ -126,15 +126,34 @@ class Conv2d(nn.Module):
         weight = self.param(
             "weight", w_init, (kh, kw, self.in_channels // self.groups, self.out_channels), jnp.float32
         )
-        y = jax.lax.conv_general_dilated(
-            x,
-            weight.astype(x.dtype),
-            window_strides=(sh, sw),
-            padding=((ph, ph), (pw, pw)),
-            rhs_dilation=(dh, dw),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        H, W = x.shape[1], x.shape[2]
+        patch_conv = (
+            kh == sh and kw == sw and ph == pw == 0 and dh == dw == 1
+            and self.groups == 1 and H % kh == 0 and W % kw == 0 and kh * kw > 1
         )
+        if patch_conv:
+            # kernel == stride, no padding ⇒ non-overlapping patches: identical math
+            # as space-to-depth + matmul, which XLA schedules far better than the
+            # strided-conv backward (PVT SRA's sr conv measured 3×0.57 ms/step in
+            # wgrad fusions; the MXU matmul form removes that)
+            b = x.shape[0]
+            xb = x.reshape(b, H // kh, kh, W // kw, kw, x.shape[3])
+            xb = xb.transpose(0, 1, 3, 2, 4, 5).reshape(b, H // kh, W // kw, kh * kw * x.shape[3])
+            wm = weight.reshape(kh * kw * (self.in_channels // self.groups), self.out_channels)
+            y = jnp.einsum("bhwi,io->bhwo", xb, wm.astype(x.dtype))
+        else:
+            # NB: a tap-packed Pallas path for small-channel stride-1 convs exists
+            # (ops/smallc_conv.py) but is NOT routed: Mosaic compile time exploded
+            # (>25 min for the 224²×32ch OutHead instance) — see PERF_NOTES.
+            y = jax.lax.conv_general_dilated(
+                x,
+                weight.astype(x.dtype),
+                window_strides=(sh, sw),
+                padding=((ph, ph), (pw, pw)),
+                rhs_dilation=(dh, dw),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             fan_in = kh * kw * self.in_channels // self.groups
             b_init = self.bias_init or torch_bias_init_for(fan_in)

@@ -212,3 +212,64 @@ def test_pallas_diff_attention_bwd_onekernel_matches_autodiff(rng):
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4, err_msg=name
             )
+
+
+def test_pallas_depthwise_fwd_interpret_matches_lax(rng):
+    from cenet_tpu.ops.depthwise import _lax_depthwise, _pallas_depthwise_fwd
+
+    for (shape, dil) in [((2, 16, 16, 8), 1), ((1, 14, 14, 20), 2), ((2, 9, 11, 5), 3)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 1, shape[-1])), jnp.float32)
+        ref = _lax_depthwise(x, w, dil)
+        got = _pallas_depthwise_fwd(x, w, dil, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_depthwise_bwd_interpret_matches_autodiff(rng):
+    from cenet_tpu.ops.depthwise import _lax_depthwise, _pallas_depthwise_dw, _pallas_depthwise_fwd
+
+    for (shape, dil) in [((2, 12, 12, 8), 1), ((1, 14, 10, 20), 2)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((3, 3, 1, shape[-1])), jnp.float32)
+        g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+        def f(x, w):
+            return jnp.sum(_lax_depthwise(x, w, dil) * g)
+
+        dx_ref, dw_ref = jax.grad(f, argnums=(0, 1))(x, w)
+        c = shape[-1]
+        wf = jnp.flip(jnp.flip(w.reshape(3, 3, c), 0), 1)
+        dx = _pallas_depthwise_fwd(g, wf, dil, interpret=True)
+        dw = _pallas_depthwise_dw(x, g, dil, interpret=True).reshape(w.shape)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_smallc_conv_fwd_interpret_matches_lax(rng):
+    from cenet_tpu.ops.smallc_conv import _lax_conv, _pallas_conv_fwd
+
+    for (shape, k, cout) in [((2, 16, 16, 8), 5, 16), ((1, 20, 20, 1), 5, 32), ((2, 12, 10, 32), 3, 32)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, shape[-1], cout)), jnp.float32)
+        ref = _lax_conv(x, w, k // 2)
+        got = _pallas_conv_fwd(x, w, k // 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+def test_pallas_smallc_conv_bwd_interpret_matches_autodiff(rng):
+    from cenet_tpu.ops.smallc_conv import _lax_conv, _pallas_conv_dw, _pallas_conv_fwd
+
+    for (shape, k, cout) in [((2, 12, 12, 8), 5, 16), ((1, 10, 14, 1), 3, 8)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, shape[-1], cout)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal(shape[:3] + (cout,)), jnp.float32)
+
+        def f(x, w):
+            return jnp.sum(_lax_conv(x, w, k // 2) * g)
+
+        dx_ref, dw_ref = jax.grad(f, argnums=(0, 1))(x, w)
+        wt = jnp.flip(jnp.flip(w, 0), 1).transpose(0, 1, 3, 2)
+        dx = _pallas_conv_fwd(g, wt, k // 2, interpret=True)
+        dw = _pallas_conv_dw(x, g, k, k // 2, interpret=True)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=3e-4, rtol=3e-4)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=3e-4, rtol=3e-4)
