@@ -102,6 +102,15 @@ def shard_host_local_batch(mesh: Mesh, batch):
 # Tensor-parallel rules for the diff-attention / SRA projections: shard the output
 # features of q/k/v (head dim) and the input features of the out-projection over
 # 'model'. GSPMD then runs per-device head groups with an all-reduce on out_proj.
+#
+# Composition with the Pallas attention cores: GSPMD does not partition
+# pallas_call custom calls — under TP it inserts gathers so the fused kernel runs
+# on replicated operands (semantically correct; TP still shards the projection
+# matmuls). For head-local fused attention under TP, wrap the core in shard_map
+# over 'model' — left un-wired because this environment has one physical chip
+# (the virtual CPU mesh cannot execute Pallas kernels), so the win is
+# unmeasurable here; the 'xla'/'chunked' cores partition natively and are used by
+# the multi-chip gate (__graft_entry__.dryrun_multichip).
 TP_ATTENTION_RULES = [
     ("q_proj/weight", P(None, "model")),
     ("k_proj/weight", P(None, "model")),
