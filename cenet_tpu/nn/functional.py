@@ -239,3 +239,36 @@ def softmax_fp32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Softmax computed in float32 and cast back (reference ``multihead_diffattn.py:108``)."""
     y = jax.nn.softmax(x.astype(jnp.float32), axis=axis)
     return y.astype(x.dtype)
+
+
+def conv5x5_packed(x: "jnp.ndarray", w: "jnp.ndarray") -> "jnp.ndarray":
+    """Exact 5×5 stride-1 SAME conv computed as a 3×3 conv on 2×2 space-to-depth
+    packed data (pure XLA).
+
+    For small channel counts the direct 5×5 conv uses a fraction of the MXU's
+    128 contraction lanes; packing 2×2 spatial phases into channels makes the
+    packed conv (3, 3, 4·Cin, 4·Cout) — identical math (the restructured kernel
+    is the same taps with zeros), ~4× fewer MXU output tiles. Requires even H, W.
+    """
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    xp = x.reshape(b, h // 2, 2, wd // 2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
+    xp = xp.reshape(b, h // 2, wd // 2, 4 * cin)
+    w3 = jnp.zeros((3, 3, 2, 2, cin, 2, 2, cout), w.dtype)
+    for qy in range(2):
+        for ky in range(5):
+            iy = qy - 2 + ky
+            py = iy % 2
+            dy = (iy - py) // 2 + 1
+            for qx in range(2):
+                for kx in range(5):
+                    ix = qx - 2 + kx
+                    px = ix % 2
+                    dx = (ix - px) // 2 + 1
+                    w3 = w3.at[dy, dx, py, px, :, qy, qx, :].set(w[ky, kx])
+    w3 = w3.reshape(3, 3, 4 * cin, 4 * cout)
+    yp = jax.lax.conv_general_dilated(
+        xp, w3, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = yp.reshape(b, h // 2, wd // 2, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h, wd, cout)

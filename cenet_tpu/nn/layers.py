@@ -142,9 +142,11 @@ class Conv2d(nn.Module):
             wm = weight.reshape(kh * kw * (self.in_channels // self.groups), self.out_channels)
             y = jnp.einsum("bhwi,io->bhwo", xb, wm.astype(x.dtype))
         else:
-            # NB: a tap-packed Pallas path for small-channel stride-1 convs exists
-            # (ops/smallc_conv.py) but is NOT routed: Mosaic compile time exploded
-            # (>25 min for the 224²×32ch OutHead instance) — see PERF_NOTES.
+            # NB: two alternative small-channel conv paths exist with MEASURED
+            # NEGATIVE results (PERF_NOTES) and are deliberately not routed:
+            # ops/smallc_conv.py (Pallas tap-packing; Mosaic compile >25 min) and
+            # nn/functional.conv5x5_packed (space-to-depth 3×3 repack; the pack/
+            # unpack transposes ate exactly what the full-lane matmuls saved).
             y = jax.lax.conv_general_dilated(
                 x,
                 weight.astype(x.dtype),

@@ -112,3 +112,24 @@ def test_softmax_fp32(rng):
     ours = np.asarray(F.softmax_fp32(jnp.asarray(x)))
     ref = tF.softmax(torch.from_numpy(x), dim=-1)
     np.testing.assert_allclose(ours, ref.numpy(), atol=1e-6)
+
+
+def test_conv5x5_packed_matches_direct(rng):
+    import jax.numpy as jnp
+    import jax
+
+    from cenet_tpu.nn import functional as F
+
+    for (shape, cout) in [((2, 16, 16, 8), 16), ((1, 12, 20, 1), 32), ((2, 14, 14, 32), 32)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((5, 5, shape[-1], cout)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        got = F.conv5x5_packed(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=3e-5)
+        # gradients flow through the kernel restructuring (pure jnp ops)
+        g1 = jax.grad(lambda w: jnp.sum(F.conv5x5_packed(x, w) ** 2))(w)
+        g2 = jax.grad(lambda w: jnp.sum(jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3, rtol=2e-3)
