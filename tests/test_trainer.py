@@ -362,3 +362,32 @@ def test_resume_bit_matches_uninterrupted(tmp_path):
     mc = jax.tree.leaves(jax.tree.map(np.asarray, sc.opt_state))
     for a, c in zip(ma, mc):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_multi_eval_step_matches_eval_step():
+    """make_multi_eval_step (scan of K forwards, argmax preds) must match K
+    independent eval_step calls — this is the production eval dispatch path."""
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer
+
+    cfg = get_preset("acdc")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=4, scale_factors=(1.0, 0.5),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        train=cfg.train.__class__(
+            max_epochs=1, batch_size=2, base_lr=0.01, optimizer="sgd",
+            scheduler="poly", loss_type="ce", loss_weights="1.0", amp=False,
+        ),
+    )
+    tr = Trainer(cfg, max_iterations=10)
+    state = tr.init_state(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    K = 3
+    images = jnp.asarray(np.random.default_rng(0).standard_normal((K, 2, 64, 64, 1)), jnp.float32)
+
+    preds = np.asarray(tr.make_multi_eval_step(K)(state, images))
+    assert preds.shape == (K, 2, 64, 64) and preds.dtype == np.uint8
+    for i in range(K):
+        ref = np.asarray(tr.eval_step(state, images[i])).argmax(-1)
+        np.testing.assert_array_equal(preds[i], ref.astype(np.uint8))
