@@ -84,6 +84,9 @@ class Trainer:
             from cenet_tpu.train.optim import freeze_subtree
 
             self.tx = freeze_subtree(self.tx, "backbone")
+        # NB: optax.flatten measured NET NEGATIVE under deep multi-step dispatch
+        # (+4.2 ms device for the 133 MB param concat/split vs −12 ms of per-call
+        # buffer marshaling that K≥50 dispatch already amortizes) — PERF_NOTES.
         self.mesh = mesh
         self.compute_dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
         self._train_step = None
