@@ -27,6 +27,12 @@ def build_argparser():
     p.add_argument("--checkpoint", default=None, help=".npz (ours) or .pth (torch) to load")
     p.add_argument("--pretrained_pth", default=None, help="pvt_v2_bX.pth encoder weights")
     p.add_argument("--model_version", default=None, choices=[None, "cenet", "cenet_org"])
+    p.add_argument("--encoder", default=None,
+                   help="backbone, e.g. pvt_v2_b2 / resnet50 (reference --encoder, main_synapse.py:139)")
+    p.add_argument("--freeze_bb", action="store_true", default=None,
+                   help="freeze backbone params (reference --freeze_bb)")
+    p.add_argument("--steps_per_call", type=int, default=None,
+                   help="optimizer steps per jit dispatch (scan); amortizes host latency")
     p.add_argument("--max_epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--base_lr", type=float, default=None)
@@ -45,6 +51,12 @@ def build_argparser():
     p.add_argument("--skip_mode", default=None, choices=[None, "add", "cat"])
     p.add_argument("--skip_use_command", default=None)
     p.add_argument("--is_savenii", action="store_true", help="export predictions as .nii.gz (eval)")
+    p.add_argument("--save_figs", action="store_true",
+                   help="per-case image/GT/pred figures during eval (utils_synapse.py:86) "
+                        "/ skin contour overlays (utils_skin.py:155-157)")
+    p.add_argument("--model_stats", action="store_true",
+                   help="compile-and-print FLOPs/bytes at startup (main_acdc.py:128-132); "
+                        "param count is always printed")
     p.add_argument("--z_spacing", type=int, default=None)
     # multi-host (DCN) initialization
     p.add_argument("--coordinator", default=None, help="host:port of process 0")
@@ -60,6 +72,10 @@ def make_config(args):
     model, train, data = cfg.model, cfg.train, cfg.data
     if args.model_version:
         model = dataclasses.replace(model, model_version=args.model_version)
+    if args.encoder:
+        model = dataclasses.replace(model, encoder=args.encoder)
+    if args.freeze_bb:
+        model = dataclasses.replace(model, freeze_bb=True)
     if args.attn_impl:
         model = dataclasses.replace(model, attn_impl=args.attn_impl)
     if args.scale_factors:
@@ -74,7 +90,7 @@ def make_config(args):
         data = dataclasses.replace(data, z_spacing=args.z_spacing)
     for field, val in [("max_epochs", args.max_epochs), ("batch_size", args.batch_size),
                        ("base_lr", args.base_lr), ("seed", args.seed), ("amp", args.amp),
-                       ("eval_interval", args.eval_interval)]:
+                       ("eval_interval", args.eval_interval), ("steps_per_call", args.steps_per_call)]:
         if val is not None:
             train = dataclasses.replace(train, **{field: val})
     if args.root_path:
@@ -134,6 +150,24 @@ def _make_mesh(args, log):
     return mesh
 
 
+def _place_state(trainer, state, dev, log):
+    """Put the TrainState where the step functions expect it: on the mesh when one
+    is configured (TP attention-projection shardings when the 'model' axis is >1 —
+    the reference's vestigial ``model_parallel_size``, multihead_diffattn.py:39,
+    made real), else on the single device."""
+    import jax
+
+    if trainer.mesh is None:
+        return jax.device_put(state, dev)
+    from cenet_tpu.core.mesh import TP_ATTENTION_RULES, shard_state
+
+    tp = trainer.mesh.shape.get("model", 1) > 1
+    if tp:
+        log.info("tensor parallelism: sharding attention projections over 'model'=%d",
+                 trainer.mesh.shape["model"])
+    return shard_state(trainer.mesh, state, TP_ATTENTION_RULES if tp else None)
+
+
 def run_train(cfg, args):
     import jax
     import jax.numpy as jnp
@@ -161,6 +195,18 @@ def run_train(cfg, args):
         state = trainer.init_state(
             jax.random.PRNGKey(cfg.train.seed), (1, cfg.data.img_size, cfg.data.img_size, cfg.model.input_channels)
         )
+    # startup cost report (reference prints params+FLOPs at startup,
+    # main_acdc.py:128-132); the FLOPs number needs a forward compile, so it is
+    # gated behind --model_stats while the param count is always free
+    from cenet_tpu.core.stats import count_params, print_model_stats
+
+    log.info("model: %.2f M params", count_params(state.params) / 1e6)
+    if getattr(args, "model_stats", False):
+        print_model_stats(
+            trainer.model, state.as_variables(),
+            (1, cfg.data.img_size, cfg.data.img_size, cfg.model.input_channels),
+            log=log.info, train=False,
+        )
     pretrained = args.pretrained_pth
     if not pretrained and cfg.model.enc_pretrain:
         # reference default: train mode loads {base_ptdir}/{encoder}.pth
@@ -175,7 +221,7 @@ def run_train(cfg, args):
         variables = load_pretrained_encoder(variables, pretrained)
         state = dataclasses.replace(state, params=variables["params"], batch_stats=variables["batch_stats"])
         log.info("loaded pretrained encoder from %s", pretrained)
-    state = jax.device_put(state, dev)
+    state = _place_state(trainer, state, dev, log)
 
     spc_cfg = max(cfg.train.steps_per_call, 1)
     loader = Loader(
@@ -201,13 +247,25 @@ def run_train(cfg, args):
             tag = ckpt.available_tags()[-1]
             state = ckpt.restore_state(state, tag=tag)
             src = f"tag {tag}"
-        state = jax.device_put(state, dev)
+        state = _place_state(trainer, state, dev, log)
         it = int(state.step)
         start_epoch = it // max(iters_per_epoch, 1)
         log.info("resumed from %s at iter %d (epoch %d, momentum restored)", src, it, start_epoch)
     spc = max(1, min(cfg.train.steps_per_call, iters_per_epoch))
     mstep = trainer.make_multi_step(spc) if spc > 1 else None
     pending = []
+    curve_dice, curve_hd = [], []  # per-eval points for the end-of-training curves
+
+    def put_batch(image, label, stacked=False):
+        # mesh: global array sharded over 'data' (host-local shards on multi-host
+        # slices — a plain device_put of a full array breaks there); single device:
+        # plain transfer.
+        if trainer.mesh is not None:
+            from cenet_tpu.core.mesh import shard_host_local_batch
+
+            sharded = shard_host_local_batch(trainer.mesh, {"i": image, "l": label}, stacked=stacked)
+            return sharded["i"], sharded["l"]
+        return jax.device_put(jnp.asarray(image), dev), jax.device_put(jnp.asarray(label), dev)
 
     def flush_pending():
         # epoch-boundary flush: run leftover (< spc) batches as single steps so
@@ -215,8 +273,7 @@ def run_train(cfg, args):
         nonlocal state, it
         while pending:
             b0 = pending.pop(0)
-            im = jax.device_put(jnp.asarray(b0["image"]), dev)
-            lb = jax.device_put(jnp.asarray(b0["label"]), dev)
+            im, lb = put_batch(b0["image"], b0["label"])
             state, _ = trainer.train_step(state, im, lb, jax.random.fold_in(rng, it))
             meter.step(bs)
             it += 1
@@ -224,14 +281,7 @@ def run_train(cfg, args):
     for epoch in range(start_epoch, cfg.train.max_epochs):
         for batch in loader.epoch(epoch):
             if mstep is None:
-                if trainer.mesh is not None:
-                    from cenet_tpu.core.mesh import shard_host_local_batch
-
-                    sharded = shard_host_local_batch(trainer.mesh, {"i": batch["image"], "l": batch["label"]})
-                    images, labels = sharded["i"], sharded["l"]
-                else:
-                    images = jax.device_put(jnp.asarray(batch["image"]), dev)
-                    labels = jax.device_put(jnp.asarray(batch["label"]), dev)
+                images, labels = put_batch(batch["image"], batch["label"])
                 state, loss = trainer.train_step(state, images, labels, jax.random.fold_in(rng, it))
                 meter.step(bs)
                 it += 1
@@ -239,8 +289,11 @@ def run_train(cfg, args):
                 pending.append(batch)
                 if len(pending) < spc:
                     continue
-                images = jax.device_put(jnp.asarray(np.stack([b["image"] for b in pending])), dev)
-                labels = jax.device_put(jnp.asarray(np.stack([b["label"] for b in pending])), dev)
+                images, labels = put_batch(
+                    np.stack([b["image"] for b in pending]),
+                    np.stack([b["label"] for b in pending]),
+                    stacked=True,
+                )
                 pending = []
                 state, loss = mstep(state, images, labels, jax.random.fold_in(rng, it))
                 for _ in range(spc):
@@ -274,14 +327,19 @@ def run_train(cfg, args):
                 dice, hd = _volume_eval(trainer, state, te_ds, cfg)
                 writer.scalar("info/test_dice", dice, it)
                 writer.scalar("info/test_hd95", hd, it)
+                curve_dice.append(dice)
+                curve_hd.append(hd)
                 log.info("epoch %d snapshot: test dice %.4f hd95 %.4f", epoch + 1, dice, hd)
         elif cfg.data.dataset == "acdc":
             val_d = _acdc_val(trainer, state, vl_ds, cfg)
             writer.scalar("info/val_dice", val_d, it)
+            curve_dice.append(val_d)
+            curve_hd.append(curve_hd[-1] if curve_hd else 0.0)
             log.info("epoch %d val dice %.4f", epoch, val_d)
             if val_d > best_val:
                 best_val = val_d
                 dice, hd = _volume_eval(trainer, state, te_ds, cfg)
+                curve_hd[-1] = hd
                 log.info("epoch %d test dice %.4f hd95 %.4f", epoch, dice, hd)
                 if dice > best_test:
                     best_test = dice
@@ -290,6 +348,8 @@ def run_train(cfg, args):
         else:
             val_d = _quick_val(trainer, state, vl_ds, cfg)
             writer.scalar("info/val_dice", val_d, it)
+            curve_dice.append(val_d)
+            curve_hd.append(0.0)
             log.info("epoch %d val dice %.4f", epoch, val_d)
             if val_d > best_val:
                 best_val = val_d
@@ -307,6 +367,12 @@ def run_train(cfg, args):
         # boundary with optimizer momentum intact
         ckpt.save(it, state)
     ckpt.save(it, state, tag="final")
+    if curve_dice:
+        # end-of-training dice/hd95 curves + tsv (utils.py:18-37 via main_acdc.py:292)
+        from cenet_tpu.evaluate.visualize import plot_metric_curves
+
+        plot_metric_curves(curve_dice, curve_hd, snap)
+        log.info("metric curves saved to %s/result.png|.tsv", snap)
     log.info("training done; throughput %.1f img/s", meter.images_per_sec)
     if args.throughput:
         print(json.dumps({"metric": "train_images_per_sec", "value": meter.images_per_sec}))
@@ -409,20 +475,21 @@ def run_eval(cfg, args):
 
         state = restore_tag_dir(ckpt_path, state)
     else:
-        # reference fallback order (main_acdc.py:158-160): best, then final
-        mgr = CheckpointManager(ckpt_path or snap)
+        # reference fallback order (main_acdc.py:158-160): best, then final, then
+        # the numerically-greatest epoch snapshot. Validate the directory BEFORE
+        # constructing CheckpointManager (whose __init__ makedirs) so a typo'd
+        # --checkpoint path doesn't leave an empty orbax tree behind.
+        root = ckpt_path or snap
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"no checkpoint in {root}; pass --checkpoint")
+        mgr = CheckpointManager(root)
         tags = mgr.available_tags()
         if not tags and mgr.latest_step() is None:
-            raise FileNotFoundError(f"no checkpoint in {ckpt_path or snap}; pass --checkpoint")
-        tag = "best" if "best" in tags else (tags[-1] if tags else None)
+            raise FileNotFoundError(f"no checkpoint in {root}; pass --checkpoint")
+        tag = next((t for t in ("best", "final") if t in tags), tags[-1] if tags else None)
         state = mgr.restore_state(state, tag=tag)
-        ckpt_path = f"{ckpt_path or snap} [{tag or mgr.latest_step()}]"
-    if mesh is not None:
-        from cenet_tpu.core.mesh import replicated as _rep
-
-        state = jax.tree.map(lambda a: jax.device_put(a, _rep(mesh)), state)
-    else:
-        state = jax.device_put(state, dev)
+        ckpt_path = f"{root} [{tag or mgr.latest_step()}]"
+    state = _place_state(trainer, state, dev, log)
     log.info("loaded checkpoint %s", ckpt_path)
 
     if cfg.data.dataset in ("synapse", "acdc"):
@@ -434,7 +501,20 @@ def run_eval(cfg, args):
                 num_classes=cfg.model.num_classes,
             ),
         )
-        save_hook = None
+        hooks = []
+        if getattr(args, "save_figs", False):
+            # per-case image/GT/pred triptych, saved unconditionally by the
+            # reference test loop (utils_synapse.py:86); flag-gated here
+            from cenet_tpu.evaluate.visualize import save_im_gt_pd
+
+            fig_dir = os.path.join(snap, "figures")
+
+            def fig_hook(case, pred):
+                save_im_gt_pd(np.asarray(case["image"]), np.asarray(case["label"]), pred,
+                              case.get("case_name", "case"), fig_dir)
+
+            hooks.append(fig_hook)
+            log.info("saving per-case figures to %s", fig_dir)
         if args.is_savenii:
             # reference --is_savenii: pred/img/gt exported per case with
             # (1, 1, z_spacing) spacing (utils_synapse.py:88-97)
@@ -444,13 +524,15 @@ def run_eval(cfg, args):
             os.makedirs(nii_dir, exist_ok=True)
             zsp = float(cfg.data.z_spacing)
 
-            def save_hook(case, pred):
+            def nii_hook(case, pred):
                 name = case.get("case_name", "case")
                 write_nifti(os.path.join(nii_dir, f"{name}_pred.nii.gz"), pred.astype(np.uint8), (1.0, 1.0, zsp))
                 write_nifti(os.path.join(nii_dir, f"{name}_img.nii.gz"), case["image"].astype(np.float32), (1.0, 1.0, zsp))
                 write_nifti(os.path.join(nii_dir, f"{name}_gt.nii.gz"), case["label"].astype(np.uint8), (1.0, 1.0, zsp))
 
+            hooks.append(nii_hook)
             log.info("saving nii.gz predictions to %s", nii_dir)
+        save_hook = (lambda case, pred: [h(case, pred) for h in hooks]) if hooks else None
         dice, hd = run_inference(
             inf, list(te_ds.volumes()), full_metrics=(cfg.data.dataset == "acdc"), log=log, save_hook=save_hook
         )
@@ -471,6 +553,20 @@ def run_eval(cfg, args):
                     "label": np.stack([te_ds.get_eval(j)["label"] for j in idxs]),
                 }
 
+        if getattr(args, "save_figs", False):
+            # test-mode contour overlays (GT green / pred red), reference
+            # utils_skin.py:155-157; one PNG per test case
+            from cenet_tpu.evaluate.visualize import skin_overlay
+
+            fig_dir = os.path.join(snap, "figures")
+            k = 0
+            for b in batches():
+                preds = np.argmax(np.asarray(trainer.eval_step(state, b["image"])), axis=-1)
+                for j in range(preds.shape[0]):
+                    skin_overlay(np.asarray(b["image"][j]), b["label"][j], preds[j],
+                                 os.path.join(fig_dir, f"te_{k}.png"))
+                    k += 1
+            log.info("saved %d overlays to %s", k, fig_dir)
         dice, acc, iou = skin_test(lambda x: trainer.eval_step(state, x), batches())
         log.info("test dice %.4f acc %.4f iou %.4f", dice, acc, iou)
         print(json.dumps({"dice": dice, "acc": acc, "iou": iou}))

@@ -104,13 +104,17 @@ class CheckpointManager:
         return self._mgr.latest_step() if self._mgr is not None else None
 
     def available_tags(self):
+        """'best'/'final' first, then epochN tags in NUMERIC order (lexicographic
+        sort would rank 'epoch80' > 'epoch120' and make fallbacks pick an older
+        snapshot whenever epoch numbers cross a digit boundary)."""
+        epochs = [
+            t for t in os.listdir(self.directory)
+            if t.startswith("epoch") and t[5:].isdigit() and os.path.isdir(os.path.join(self.directory, t))
+        ]
         return [
             t for t in ("best", "final")
             if os.path.isdir(os.path.join(self.directory, t))
-        ] + sorted(
-            t for t in os.listdir(self.directory)
-            if t.startswith("epoch") and os.path.isdir(os.path.join(self.directory, t))
-        )
+        ] + sorted(epochs, key=lambda t: int(t[5:]))
 
     def has_any(self) -> bool:
         return self.latest_step() is not None or bool(self.available_tags())

@@ -61,7 +61,6 @@ class DataConfig:
     img_size: int = 224
     z_spacing: int = 1
     num_workers: int = 4
-    host_augment: bool = False  # exact scipy/imgaug host path vs on-device augment
 
 
 @dataclass(frozen=True)

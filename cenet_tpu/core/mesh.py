@@ -81,15 +81,19 @@ def shard_params(mesh: Mesh, params, rules=None):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_host_local_batch(mesh: Mesh, batch):
+def shard_host_local_batch(mesh: Mesh, batch, stacked: bool = False):
     """Multi-host batch placement: each host contributes its local shard of the
-    global batch (dim 0), assembled into one global array sharded over 'data'.
+    global batch, assembled into one global array sharded over 'data'.
 
-    On a single host this is identical to ``shard_batch``. On multi-host slices the
+    ``stacked=False``: batch dim is axis 0 → P('data').
+    ``stacked=True``: arrays carry a leading (steps,) axis with the batch at axis 1
+    (multi-step dispatch) → P(None, 'data').
+
+    On a single host this is a plain sharded device_put. On multi-host slices the
     loader feeds only ``global_batch / process_count`` samples per host and the
     assembly rides DCN-free (data stays on the host's own devices).
     """
-    sh = batch_sharding(mesh)
+    sh = NamedSharding(mesh, P(None, "data") if stacked else P("data"))
 
     def place(x):
         if jax.process_count() == 1:
@@ -97,6 +101,29 @@ def shard_host_local_batch(mesh: Mesh, batch):
         return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
     return jax.tree.map(place, batch)
+
+
+def shard_state(mesh: Mesh, state, rules=None):
+    """Place a full TrainState on the mesh: params AND the optimizer state (whose
+    momentum mirrors the param tree, so TP ``rules`` match its paths too) get the
+    rule-based placement; batch_stats / step / everything else is replicated.
+
+    This is the production entry for tensor parallelism: with
+    ``rules=TP_ATTENTION_RULES`` the attention projections — and their momentum
+    buffers — shard over 'model' instead of being duplicated per model-axis pair.
+    """
+    import dataclasses as _dc
+
+    if not hasattr(state, "params"):
+        return shard_params(mesh, state, rules)
+    rep = replicated(mesh)
+    return _dc.replace(
+        state,
+        params=shard_params(mesh, state.params, rules),
+        batch_stats=jax.tree.map(lambda a: jax.device_put(a, rep), state.batch_stats),
+        opt_state=shard_params(mesh, state.opt_state, rules),
+        step=jax.device_put(state.step, rep),
+    )
 
 
 # Tensor-parallel rules for the diff-attention / SRA projections: shard the output

@@ -252,17 +252,23 @@ class SkinAug:
     @staticmethod
     def _rotate_img(image, angle):
         if cv2 is not None:
+            # cv2.warpAffine supports only CV_8U/16U/32F — float64 sources (some
+            # preprocessed datasets) must round-trip through float32
+            dt = image.dtype
+            src = image.astype(np.float32) if dt not in (np.uint8, np.uint16, np.float32) else image
             h, w = image.shape[:2]
             m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
-            return cv2.warpAffine(image, m, (w, h), flags=cv2.INTER_LINEAR)
+            return cv2.warpAffine(src, m, (w, h), flags=cv2.INTER_LINEAR).astype(dt, copy=False)
         return ndimage.rotate(image, angle, reshape=False, order=1)
 
     @staticmethod
     def _rotate_mask(mask, angle):
         if cv2 is not None:
+            dt = mask.dtype
+            src = mask.astype(np.float32) if dt not in (np.uint8, np.uint16, np.float32) else mask
             h, w = mask.shape[:2]
             m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
-            return cv2.warpAffine(mask, m, (w, h), flags=cv2.INTER_NEAREST)
+            return cv2.warpAffine(src, m, (w, h), flags=cv2.INTER_NEAREST).astype(dt, copy=False)
         return ndimage.rotate(mask, angle, reshape=False, order=0)
 
     @staticmethod

@@ -4,8 +4,10 @@ The reference augments per-sample in DataLoader workers; here the ACDC/Synapse
 ``RandomGenerator`` (50% rot90×k+flip, else 50% rotate(−20,20) order-0, then zoom
 to img_size — ``dataset_acdc.py:32-48``) runs as one jitted batched transform on
 raw device batches, keyed by ``jax.random`` PRNG keys. The host pipeline
-(`data/augment.py`) remains the scipy-exact default; this path removes the host
-augmentation bottleneck for throughput runs (BASELINE.json north star).
+(`data/augment.py`) is the scipy-exact production default; this module is an
+opt-in library API for throughput runs where the 1-core host would otherwise
+bottleneck (call ``random_generator_batch`` on raw batches before the train
+step). It is intentionally not wired into the CLI.
 
 All ops are batch-uniform-shape: per-sample variants are computed and selected,
 rotation is a gather from a per-sample rotated coordinate grid.

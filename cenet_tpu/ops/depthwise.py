@@ -13,6 +13,12 @@ Forward-only fusion surface (bias handled by the caller); custom VJP:
 
 Falls back to ``lax.conv_general_dilated`` off-TPU or for shapes that do not fit
 VMEM (see :func:`depthwise_conv`).
+
+STATUS: UNROUTED — measured negative (round 2, PERF_NOTES). XLA's depthwise
+lowering already runs at the elementwise/HBM floor at every model shape
+(lax ≈ pallas ≈ same-shape elementwise on chip), so routing this kernel buys
+nothing. Kept as a tested, documented negative result; do not re-route without
+a new profile showing the dw stage hot.
 """
 
 from __future__ import annotations

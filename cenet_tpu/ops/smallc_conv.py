@@ -15,6 +15,11 @@ accumulator over the batch.
 
 Requirements: stride 1, square kernel, symmetric padding, fits VMEM. Exact
 ``lax.conv_general_dilated`` fallback elsewhere (:func:`conv_small_c`).
+
+STATUS: UNROUTED — routing reverted (round 2, PERF_NOTES): Mosaic compile time
+exploded (>25 min for the OutHead instance; giant unrolled shifted-concat IR)
+and the runtime win was never measured. Kept as a tested experiment. Revisit
+only with a streamed/blocked formulation that keeps the kernel IR small.
 """
 
 from __future__ import annotations

@@ -31,7 +31,16 @@ batch = shard_host_local_batch(mesh, {"x": local})
 total = jax.jit(lambda x: jnp.sum(x))(batch["x"])
 expected = float(np.arange(12).sum() + (np.arange(12) + 12).sum())
 assert abs(float(total) - expected) < 1e-6, (float(total), expected)
-print(f"proc {pid} ok total={float(total)}")
+
+# stacked multi-step batches (K, B, ...) — the production steps_per_call>1 path
+# (cli run_train put_batch(..., stacked=True)); batch axis 1 rides 'data'
+local_k = np.stack([local, local + 100.0])  # (2, 4, 3) per host
+bk = shard_host_local_batch(mesh, {"x": local_k}, stacked=True)
+assert bk["x"].shape == (2, 8, 3), bk["x"].shape
+tk = jax.jit(lambda x: jnp.sum(x))(bk["x"])
+exp_k = 2 * expected + 100.0 * 4 * 3 * 2
+assert abs(float(tk) - exp_k) < 1e-5, (float(tk), exp_k)
+print(f"proc {pid} ok total={float(total)} stacked={float(tk)}")
 """
 
 
