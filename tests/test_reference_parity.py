@@ -37,7 +37,10 @@ def _torch():
 
 
 def _sd_numpy(model):
-    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    # .numpy() returns a VIEW of torch storage — copy, or a later in-place torch
+    # update (BN running stats during a train forward) silently mutates the
+    # "converted" values before JAX materializes them at trace time
+    return {k: v.detach().numpy().copy() for k, v in model.state_dict().items()}
 
 
 def _convert(torch_model, variables, model_version="cenet", wrap=None):
@@ -188,6 +191,110 @@ def test_dseb_use_command_parity(use_command, mode):
     )
     diff = _max_abs(want, np.asarray(got).transpose(0, 3, 1, 2))
     assert diff <= 1e-5, f"DSEB[{use_command},{mode}] diff {diff:.2e}"
+
+
+# ---------------------------------------------------------------------------
+# Train-mode gate: forward+backward vs the actual reference (VERDICT r2 #3).
+# Catches what the eval-logits gates cannot: wrong BN momentum (torch 0.1
+# convention), mis-scaled λ gradients, droppath/dropout semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_cenet_train_step_parity():
+    """One fp32 training forward+backward on an identical batch: loss, the FULL
+    parameter-gradient tree (λ, BN affine, convs — converted through the same
+    layout map as the weights), and the post-step BN running stats must match the
+    torch reference ≤ tolerance. Reference train loop: main_synapse.py:256-276;
+    BN semantics: modules/cfam.py:22-32."""
+    torch = _torch()
+    networks = load_reference()
+    ref = networks.CENet(
+        input_channels=1, num_classes=4, scale_factors=[0.8, 0.4],
+        diffatt_num_heads=[4, 4, 4], encoder="pvt_v2_b0", skip_mode="cat",
+        dec_up_block="eucb", out_merge_mode="cat", out_up_block="upcn", out_up_ks=3,
+    )
+    ref.backbone.reset_drop_path(0.0)  # droppath off → deterministic train step
+    ref.train()
+
+    from cenet_tpu.models.cenet import CENet
+    from cenet_tpu.train.losses import cross_entropy_loss
+
+    model = CENet(
+        input_channels=1, num_classes=4, scale_factors=(0.8, 0.4),
+        diffatt_num_heads=(4, 4, 4), encoder="pvt_v2_b0", skip_mode="cat",
+        dec_up_block="eucb", out_merge_mode="cat", out_up_block="upcn", out_up_ks=3,
+        attn_impl="xla", drop_path_rate=0.0,
+    )
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 1, 224, 224)).astype(np.float32)
+    labels = rng.integers(0, 4, (2, 224, 224))
+    variables = model.init(KEY, jax.numpy.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    variables = _convert(ref, variables, "cenet")
+
+    # ---- torch forward+backward (plain CE keeps the torch side independent of
+    # our loss code; loss-fn parity is covered by the unit tests) ----
+    tx = torch.from_numpy(x)
+    tl = torch.from_numpy(labels).long()
+    logits = ref(tx)
+    loss_t = torch.nn.functional.cross_entropy(logits, tl)
+    loss_t.backward()
+    grad_sd = {
+        k: (p.grad if p.grad is not None else torch.zeros_like(p)).detach().numpy()
+        for k, p in ref.named_parameters()
+    }
+    post_sd = _sd_numpy(ref)  # running_mean/var updated by the train forward
+
+    # ---- JAX forward+backward on the converted weights ----
+    import jax.numpy as jnp
+
+    def loss_fn(params):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), train=True, deterministic=False,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return cross_entropy_loss(out.astype(jnp.float32), jnp.asarray(labels)), mut["batch_stats"]
+
+    (loss_j, new_bs), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
+
+    assert abs(float(loss_j) - float(loss_t)) <= 1e-5 * max(1.0, abs(float(loss_t))), (
+        f"loss: torch {float(loss_t):.6f} vs jax {float(loss_j):.6f}")
+
+    # gradients: convert the torch grad 'state dict' through the SAME layout map
+    # as the weights, into a zeros template (leaves without a torch counterpart
+    # stay 0 on both sides)
+    from cenet_tpu.convert.torch2jax import convert_state_dict
+
+    zeros = jax.tree.map(lambda a: np.zeros(np.shape(a), np.float32), variables["params"])
+    want_tree, _ = convert_state_dict(grad_sd, {"params": zeros}, "cenet", strict=False)
+    flat_want = jax.tree_util.tree_flatten_with_path(want_tree["params"])[0]
+    flat_got = {tuple(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+                for kp, v in jax.tree_util.tree_flatten_with_path(grads)[0]}
+    n_lambda = n_bn_scale = 0
+    for kp, want in flat_want:
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        got = flat_got[path]
+        want = np.asarray(want)
+        tol = 1e-5 + 1e-3 * float(np.max(np.abs(want)))  # fp32 whole-model bwd noise floor
+        diff = float(np.max(np.abs(got - want)))
+        assert diff <= tol, f"grad mismatch at {'/'.join(path)}: {diff:.3e} > {tol:.3e}"
+        if "lambda_" in path[-1]:
+            n_lambda += 1
+            assert np.max(np.abs(want)) > 0, f"torch λ grad unexpectedly zero at {path}"
+    assert n_lambda >= 4  # the λ reparam gradients were really compared
+
+    # BN running stats after the train step (torch momentum-0.1 convention)
+    bs_tmpl = jax.tree.map(lambda a: np.zeros(np.shape(a), np.float32), variables["batch_stats"])
+    want_bs, _ = convert_state_dict(post_sd, {"params": variables["params"], "batch_stats": bs_tmpl},
+                                    "cenet", strict=False)
+    got_bs = {tuple(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+              for kp, v in jax.tree_util.tree_flatten_with_path(new_bs)[0]}
+    for kp, want in jax.tree_util.tree_flatten_with_path(want_bs["batch_stats"])[0]:
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        diff = float(np.max(np.abs(got_bs[path] - np.asarray(want))))
+        assert diff <= 1e-4, f"BN running-stat mismatch at {'/'.join(path)}: {diff:.3e}"
+        n_bn_scale += 1
+    assert n_bn_scale > 0
 
 
 @pytest.mark.parametrize("merge_mode", ["cat", "add"])
