@@ -192,11 +192,10 @@ class MultiheadDiffAttn(nn.Module):
             # never materialized; softmax numerics identical (fp32, full rows).
             # (Merging by duplicating V instead was measured SLOWER in round 1 —
             # it doubles the dV backward work; the shared-V kernel halves it.)
-            from cenet_tpu.ops.flash_attention import diff_attention_core
+            from cenet_tpu.ops.flash_attention import diff_attention_interleaved
 
-            attn = diff_attention_core(
-                qs[:, 0::2], k[:, 0::2], qs[:, 1::2], k[:, 1::2], v,
-                lambda_full.astype(jnp.float32), impl=self.attn_impl,
+            attn = diff_attention_interleaved(
+                qs, k, v, lambda_full.astype(jnp.float32), impl=self.attn_impl,
             )
 
         attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)

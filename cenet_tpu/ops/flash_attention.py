@@ -88,6 +88,29 @@ def diff_attention_core(q1, k1, q2, k2, v, lam, impl: str = "pallas") -> jnp.nda
     return out1 - lam.astype(out1.dtype) * out2
 
 
+def diff_attention_interleaved(q, k, v, lam, impl: str = "pallas") -> jnp.ndarray:
+    """Diff attention taking the projections' NATIVE interleaved layout:
+    q/k (B, 2h, N, d) with group-1 heads at even rows, shared v (B, h, M, 2d).
+
+    On TPU this feeds :func:`pallas_diff_attention_interleaved` directly — the
+    kernel reads head pairs via (2, bq, d) blocks, so no 0::2 slices, q-pads or
+    dq scatters exist at the call site (measured −1.5 ms/step at DSEB1, round-3
+    PERF_NOTES). Off-TPU it decomposes exactly like :func:`diff_attention_core`.
+    """
+    b, h2, n, _ = q.shape
+    m = k.shape[2]
+    small = (b * h2 // 2) * n * m * 4 <= 32 * 1024 * 1024
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if impl == "pallas" and on_tpu and not small:
+        try:
+            from cenet_tpu.ops.pallas_attention import pallas_diff_attention_interleaved
+
+            return pallas_diff_attention_interleaved(q, k, v, lam.astype(jnp.float32))
+        except Exception:
+            pass
+    return diff_attention_core(q[:, 0::2], k[:, 0::2], q[:, 1::2], k[:, 1::2], v, lam, impl=impl)
+
+
 def flash_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Fused Pallas attention on TPU; chunked-XLA fallback elsewhere.
 

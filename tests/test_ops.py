@@ -273,3 +273,45 @@ def test_pallas_smallc_conv_bwd_interpret_matches_autodiff(rng):
         dw = _pallas_conv_dw(x, g, k, k // 2, interpret=True)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=3e-4, rtol=3e-4)
         np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=3e-4, rtol=3e-4)
+
+
+def test_pallas_diff_attention_interleaved_matches_autodiff(rng):
+    """Interleaved-pair kernel ((2, bq, d) blocks, dq/dk written interleaved) vs
+    autodiff of the naive composition — fwd, dq, dk, dv, dλ."""
+    from cenet_tpu.ops.pallas_attention import _diff_bwd_pair_impl, _diff_fwd_pair_impl
+
+    lam = jnp.asarray(0.45, jnp.float32)
+    # n=64: bq==n (divisor path, no padding); n=100: bq=256 fallback (padded rows)
+    for (b, h, n, m, d, dv) in [(1, 2, 64, 64, 4, 8), (1, 1, 100, 49, 8, 16), (2, 2, 196, 196, 4, 8)]:
+        q = jnp.asarray(rng.standard_normal((b, 2 * h, n, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, 2 * h, m, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, m, dv)), jnp.float32)
+        g = jnp.asarray(rng.standard_normal((b, h, n, dv)), jnp.float32)
+
+        def f(q, k, v, lam):
+            return jnp.sum(_diff_ref(q[:, 0::2], k[:, 0::2], q[:, 1::2], k[:, 1::2], v, lam) * g)
+
+        refs = jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, lam)
+        o, l1, l2 = _diff_fwd_pair_impl(q, k, v, lam, interpret=True, with_lse=True)
+        ref_o = _diff_ref(q[:, 0::2], k[:, 0::2], q[:, 1::2], k[:, 1::2], v, lam)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref_o), atol=2e-5, rtol=2e-5)
+        gots = _diff_bwd_pair_impl(q, k, v, lam, l1, l2, g, interpret=True)
+        for name, got, ref in zip(["dq", "dk", "dv", "dlam"], gots, refs):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=3e-4, rtol=3e-4, err_msg=name
+            )
+
+
+def test_diff_attention_interleaved_router_matches_core(rng):
+    """diff_attention_interleaved (chunked/xla fallback path on CPU) equals the
+    sliced diff_attention_core composition."""
+    from cenet_tpu.ops.flash_attention import diff_attention_core, diff_attention_interleaved
+
+    lam = jnp.asarray(0.3, jnp.float32)
+    b, h, n, d, dv = 2, 2, 80, 4, 8
+    q = jnp.asarray(rng.standard_normal((b, 2 * h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, 2 * h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, dv)), jnp.float32)
+    want = diff_attention_core(q[:, 0::2], k[:, 0::2], q[:, 1::2], k[:, 1::2], v, lam, impl="chunked")
+    got = diff_attention_interleaved(q, k, v, lam, impl="chunked")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
