@@ -40,7 +40,9 @@ def main():
     from cenet_tpu.train.trainer import Trainer
 
     cfg = get_preset("synapse")
-    tr = Trainer(cfg, max_iterations=1000)
+    # max_iterations must exceed the total steps the bench runs (incl. the 60 s
+    # sustained phase) or the poly schedule hits its clamp and lr goes to 0
+    tr = Trainer(cfg, max_iterations=100_000)
     bs = 8
 
     # init on CPU (fast eager path), then place on the TPU
@@ -88,6 +90,22 @@ def main():
     dt = min(per_call) / K
     train_ips = bs / dt
 
+    # Sustained mode (VERDICT r2 #8): ≥60 s of continuous training calls, mean ±
+    # spread reported alongside the best-of-N headline so tunnel stalls are
+    # QUANTIFIED rather than excluded.
+    sust = []
+    t_start = time.time()
+    i = 3
+    while time.time() - t_start < 60.0:
+        t0 = time.time()
+        state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
+        final_loss = float(loss)
+        sust.append(time.time() - t0)
+        i += 1
+    sust_ms = [s / K * 1e3 for s in sust]
+    sust_ips = bs * K * len(sust) / sum(sust)
+    sust_spread = (max(sust_ms) - min(sust_ms)) / (sum(sust_ms) / len(sust_ms))
+
     # eval throughput: K forwards per dispatch via lax.scan (the production eval
     # path — per-call host dispatch was the round-1 bottleneck: 141 img/s with
     # one forward per call vs the expected ≥2.5× train)
@@ -111,9 +129,11 @@ def main():
     from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig
 
     vol = np.random.default_rng(2).standard_normal((64, 512, 512)).astype(np.float32)
-    inf = VolumeInferencer(
-        lambda x: eval_step(state, x), VolumeInferenceConfig(img_size=224, chunk=32, num_classes=9)
-    )
+    # production volume path (round 3): fp16 upload (halves the dominant 67 MB
+    # tunnel transfer; 9.0 → 14.5 slices/s same-session) + per-chunk async
+    # dispatch (scan-dispatch measured negative at 2 chunks/volume — volume.py)
+    vcfg = VolumeInferenceConfig(img_size=224, chunk=32, num_classes=9)
+    inf = VolumeInferencer(lambda x: eval_step(state, x), vcfg)
     _ = inf.predict_volume(vol)  # compile
     vt = []
     for _ in range(2):  # best-of-2 (transfer-heavy: tunnel bandwidth varies ~2x)
@@ -153,6 +173,8 @@ def main():
                 "value": round(train_ips, 1),
                 "unit": "img/s",
                 "vs_baseline": round(train_ips / A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE, 2),
+                "train_sustained_images_per_sec": round(sust_ips, 1),
+                "train_sustained_spread": round(sust_spread, 3),
                 "eval_images_per_sec_per_chip": round(eval_ips, 1),
                 "volume_inference_slices_per_sec": round(vol_ips, 1),
                 "host_aug_images_per_sec": round(host_aug_ips, 1),

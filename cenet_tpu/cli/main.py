@@ -403,10 +403,10 @@ def _quick_val(trainer, state, vl_ds, cfg):
 def _acdc_val(trainer, state, vl_ds, cfg):
     """ACDC per-slice val dice at original resolution (metrics_eval.val_single_volume)."""
     from cenet_tpu.evaluate.metrics import dice_coefficient
-    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig
+    from cenet_tpu.evaluate.volume import VolumeInferenceConfig
 
-    inf = VolumeInferencer(
-        lambda x: trainer.eval_step(state, x),
+    inf = _make_volume_inferencer(
+        trainer, state,
         VolumeInferenceConfig(img_size=cfg.data.img_size, chunk=cfg.train.batch_size,
                               normalize=False, num_classes=cfg.model.num_classes),
     )
@@ -422,11 +422,21 @@ def _acdc_val(trainer, state, vl_ds, cfg):
     return float(np.mean(dices)) if dices else 0.0
 
 
-def _volume_eval(trainer, state, te_ds, cfg):
-    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig, run_inference
+def _make_volume_inferencer(trainer, state, vcfg):
+    """Volume inferencer on the production fast path: per-chunk async dispatch
+    (under --mesh the chunk batch rides the 'data' axis via eval_step's
+    shardings) with fp16 volume upload. Scan-dispatch of chunk groups measured
+    NEGATIVE here — see VolumeInferencer docstring."""
+    from cenet_tpu.evaluate.volume import VolumeInferencer
 
-    inf = VolumeInferencer(
-        lambda x: trainer.eval_step(state, x),
+    return VolumeInferencer(lambda x: trainer.eval_step(state, x), vcfg)
+
+
+def _volume_eval(trainer, state, te_ds, cfg):
+    from cenet_tpu.evaluate.volume import VolumeInferenceConfig, run_inference
+
+    inf = _make_volume_inferencer(
+        trainer, state,
         VolumeInferenceConfig(img_size=cfg.data.img_size,
                               normalize=(cfg.data.dataset == "synapse"),
                               num_classes=cfg.model.num_classes),
@@ -440,7 +450,7 @@ def run_eval(cfg, args):
 
     from cenet_tpu.core.checkpoint import CheckpointManager, _load_npz
     from cenet_tpu.core.logging_utils import setup_logging
-    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig, run_inference
+    from cenet_tpu.evaluate.volume import VolumeInferenceConfig, run_inference
     from cenet_tpu.train.trainer import Trainer
 
     snap = snapshot_path(cfg)
@@ -493,8 +503,8 @@ def run_eval(cfg, args):
     log.info("loaded checkpoint %s", ckpt_path)
 
     if cfg.data.dataset in ("synapse", "acdc"):
-        inf = VolumeInferencer(
-            lambda x: trainer.eval_step(state, x),
+        inf = _make_volume_inferencer(
+            trainer, state,
             VolumeInferenceConfig(
                 img_size=cfg.data.img_size,
                 normalize=(cfg.data.dataset == "synapse"),

@@ -28,24 +28,44 @@ class VolumeInferenceConfig:
     chunk: int = 32  # slices per device batch (one compiled shape)
     normalize: bool = True  # Synapse: Normalize(0.5, 0.5); ACDC: none
     num_classes: int = 9
+    # Host→device dtype for the raw volume. The upload dominates wall time on a
+    # slow host link (67 MB fp32 for a 64×512² CT — PERF_NOTES); float16 halves
+    # it with ≤1e-3 relative quantization of the input intensities. Use
+    # "float32" for bit-exact parity runs.
+    transfer_dtype: str = "float16"
+    scan_chunks: int = 4  # chunks per dispatch when a predict_many_fn is given
 
 
 class VolumeInferencer:
     """Batched per-volume predictor.
 
     ``predict_fn(images_nhwc) -> probs_nhwk`` must be a jitted softmax forward
-    (e.g. ``Trainer.eval_step`` partial'd with state).
+    (e.g. ``Trainer.eval_step`` partial'd with state). Optionally,
+    ``predict_many_fn(images_kchwc) -> labels_kchw`` (a scan of ``scan_chunks``
+    forwards per dispatch, e.g. ``Trainer.make_multi_eval_step``) amortizes
+    per-call host dispatch latency across chunks.
+
+    MEASURED NEGATIVE at Synapse shapes (round 3, real chip, same session:
+    per-chunk fp16 14.5 vs scan fp16 12.2 slices/s): a 64-slice CT is only two
+    32-slice chunks, so the scan amortizes ~nothing while paying big-graph
+    per-call overhead; the volume path is upload-bandwidth-bound, not
+    dispatch-bound (unlike the round-2 eval fix, which amortized hundreds of
+    calls). Production paths use per-chunk dispatch; the scan path stays
+    available and tested for many-chunk workloads.
     """
 
-    def __init__(self, predict_fn: Callable, cfg: VolumeInferenceConfig):
+    def __init__(self, predict_fn: Callable, cfg: VolumeInferenceConfig,
+                 predict_many_fn: Optional[Callable] = None):
         self.predict_fn = predict_fn
+        self.predict_many_fn = predict_many_fn
         self.cfg = cfg
 
     def predict_volume(self, image: np.ndarray) -> np.ndarray:
         """image (D, H, W) float → label volume (D, H, W) uint8."""
         d, h, w = image.shape
         s = self.cfg.img_size
-        x = jnp.asarray(image, jnp.float32)[..., None]  # (D, H, W, 1)
+        tdt = np.dtype(self.cfg.transfer_dtype)
+        x = jnp.asarray(np.asarray(image, tdt))[..., None].astype(jnp.float32)  # (D, H, W, 1)
         x = F.zoom_resize(x, (s, s), order=3) if (h, w) != (s, s) else x
         if self.cfg.normalize:
             x = (x - 0.5) / 0.5
@@ -55,14 +75,32 @@ class VolumeInferencer:
         pad = (-d) % c
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, s, s, 1), x.dtype)], axis=0)
-        # Dispatch every chunk before pulling any result: XLA dispatch is async, so
-        # the device→host transfer of chunk i overlaps the compute of chunk i+1
-        # (the reference ping-pongs one slice at a time, utils_synapse.py:50-81).
-        outs = [
-            jnp.argmax(self.predict_fn(x[i : i + c]), axis=-1).astype(jnp.uint8)
-            for i in range(0, d + pad, c)
-        ]
-        pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:d]  # (D, s, s)
+        if self.predict_many_fn is not None:
+            # scan dispatch: full groups of scan_chunks chunks per jit call; the
+            # remainder goes as ONE smaller group (lax.scan length comes from the
+            # input shape, so each distinct group size compiles once — bounded by
+            # scan_chunks shapes) — never padded groups, which would waste up to
+            # (scan_chunks−1)·chunk slices of compute per volume.
+            kg = self.cfg.scan_chunks
+            nchunk = (d + pad) // c
+            xs = x.reshape(nchunk, c, s, s, 1)
+            outs = []
+            i = 0
+            while i < nchunk:
+                g = min(kg, nchunk - i)
+                outs.append(self.predict_many_fn(xs[i : i + g]))
+                i += g
+            pred = np.concatenate([np.asarray(o).reshape(-1, s, s) for o in outs], axis=0)[:d]
+        else:
+            # Dispatch every chunk before pulling any result: XLA dispatch is
+            # async, so the device→host transfer of chunk i overlaps the compute
+            # of chunk i+1 (the reference ping-pongs one slice at a time,
+            # utils_synapse.py:50-81).
+            outs = [
+                jnp.argmax(self.predict_fn(x[i : i + c]), axis=-1).astype(jnp.uint8)
+                for i in range(0, d + pad, c)
+            ]
+            pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:d]  # (D, s, s)
 
         if (h, w) != (s, s):
             # Nearest back-zoom on HOST: only s² uint8 per slice crosses the link

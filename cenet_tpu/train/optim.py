@@ -22,8 +22,13 @@ def make_schedule(
 ) -> Callable[[int], float]:
     name = name.lower()
     if name == "poly":
-        # (1 - t/T)^0.9 per iteration (core.py:31)
-        return lambda step: base_lr * (1.0 - step / max_iterations) ** 0.9
+        # (1 - t/T)^0.9 per iteration (core.py:31). Clamped at 0 past T: the
+        # reference would raise a negative fractional power (NaN) if stepped
+        # beyond max_iterations; a framework must stay finite there (e.g. bench
+        # loops and resumed over-runs).
+        import jax.numpy as _jnp
+
+        return lambda step: base_lr * _jnp.maximum(1.0 - step / max_iterations, 0.0) ** 0.9
     if name == "cosine":
         return optax.cosine_decay_schedule(base_lr, max_iterations)
     if name == "exp":

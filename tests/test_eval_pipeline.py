@@ -78,3 +78,27 @@ def test_run_inference_aggregation(rng, caplog):
     cases = [{"image": image, "label": label, "case_name": f"case{i}"} for i in range(3)]
     dice, hd = run_inference(inf, cases)
     assert dice > 0.99 and hd == 0.0
+
+
+def test_volume_inference_predict_many_matches_per_chunk(rng):
+    """The scan-dispatch path (predict_many_fn, groups of scan_chunks) must produce
+    the same volume as per-chunk dispatch, including group padding."""
+    d, h, w, k = 10, 64, 64, 3  # 3 chunks of 4 -> one group of 4 pads to 2 groups... (chunk=4, scan=2)
+    label = np.zeros((d, h, w), np.int32)
+    label[:, 16:40, 16:40] = 1
+    image = label.astype(np.float32) * 0.4 + 0.1
+    cfg1 = VolumeInferenceConfig(img_size=64, chunk=4, normalize=False, num_classes=k)
+    cfg2 = VolumeInferenceConfig(img_size=64, chunk=4, normalize=False, num_classes=k, scan_chunks=2)
+
+    def predict(x):
+        lvl = jnp.round(x[..., 0] / 0.4).astype(jnp.int32).clip(0, k - 1)
+        return jax.nn.one_hot(lvl, k)
+
+    def predict_many(xs):
+        def body(_, x):
+            return None, jnp.argmax(predict(x), -1).astype(jnp.uint8)
+        return jax.lax.scan(body, None, xs)[1]
+
+    a = VolumeInferencer(predict, cfg1).predict_volume(image)
+    b = VolumeInferencer(predict, cfg2, predict_many_fn=predict_many).predict_volume(image)
+    np.testing.assert_array_equal(a, b)
