@@ -126,18 +126,35 @@ def shard_state(mesh: Mesh, state, rules=None):
     )
 
 
+# Attention-mesh registry: the attention routers (ops/flash_attention.py) read
+# this at trace time to wrap fused cores in shard_map over the TP head axis when
+# the impl string carries an '@axis' suffix (e.g. 'pallas@model'). Trainer
+# registers its mesh on construction; None disables the wrap (pure-GSPMD path).
+_ATTENTION_MESH: Optional[Mesh] = None
+
+
+def set_attention_mesh(mesh: Optional[Mesh]) -> None:
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = mesh
+
+
+def get_attention_mesh() -> Optional[Mesh]:
+    return _ATTENTION_MESH
+
+
 # Tensor-parallel rules for the diff-attention / SRA projections: shard the output
 # features of q/k/v (head dim) and the input features of the out-projection over
 # 'model'. GSPMD then runs per-device head groups with an all-reduce on out_proj.
 #
 # Composition with the Pallas attention cores: GSPMD does not partition
-# pallas_call custom calls — under TP it inserts gathers so the fused kernel runs
-# on replicated operands (semantically correct; TP still shards the projection
-# matmuls). For head-local fused attention under TP, wrap the core in shard_map
-# over 'model' — left un-wired because this environment has one physical chip
-# (the virtual CPU mesh cannot execute Pallas kernels), so the win is
-# unmeasurable here; the 'xla'/'chunked' cores partition natively and are used by
-# the multi-chip gate (__graft_entry__.dryrun_multichip).
+# pallas_call custom calls — under TP it would insert gathers so the fused kernel
+# runs on replicated operands (semantically correct; TP still shards the
+# projection matmuls). With an '@model'-suffixed attn_impl (set automatically by
+# the CLI when --mesh has model>1) the routers instead wrap the core in
+# shard_map over 'model', so the fused kernels run HEAD-LOCAL per device
+# (ops/flash_attention.shard_heads; equivalence tested on the virtual CPU mesh
+# with the chunked core and with the Pallas kernels in interpret mode,
+# tests/test_tp_attention.py).
 TP_ATTENTION_RULES = [
     ("q_proj/weight", P(None, "model")),
     ("k_proj/weight", P(None, "model")),

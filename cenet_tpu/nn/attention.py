@@ -39,17 +39,25 @@ def xla_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
 def get_attention_core(impl: str = "xla") -> Callable:
     """'xla': naive full-matrix (reference numerics, O(N²) memory);
     'chunked': query-block scan, identical numerics, O(N·chunk) memory;
-    'pallas': fused TPU kernel (chunked fallback off-TPU)."""
+    'pallas': fused TPU kernel (chunked fallback off-TPU).
+
+    An ``'@axis'`` suffix (e.g. ``'pallas@model'``) wraps the core in shard_map
+    over that mesh axis so it runs head-local under tensor parallelism
+    (ops/flash_attention.shard_heads; no-op without a registered mesh or when
+    the head count doesn't divide)."""
+    from cenet_tpu.ops.flash_attention import parse_impl, shard_heads
+
+    impl, axis = parse_impl(impl)
     if impl == "xla":
-        return xla_attention_core
+        return shard_heads(xla_attention_core, axis)
     if impl == "chunked":
         from cenet_tpu.ops.flash_attention import chunked_attention_core
 
-        return chunked_attention_core
+        return shard_heads(chunked_attention_core, axis)
     if impl == "pallas":
         from cenet_tpu.ops.flash_attention import flash_attention_core
 
-        return flash_attention_core
+        return shard_heads(flash_attention_core, axis)
     raise ValueError(f"unknown attention impl: {impl}")
 
 
@@ -171,7 +179,9 @@ class MultiheadDiffAttn(nn.Module):
         lambda_full = (lambda_1 - lambda_2 + lambda_init).astype(x.dtype)
 
         qs = q * jnp.asarray(scaling, q.dtype)
-        if self.attn_impl == "xla" or (rel_pos is not None and not self.use_rotary):
+        from cenet_tpu.ops.flash_attention import parse_impl
+
+        if parse_impl(self.attn_impl)[0] == "xla" or (rel_pos is not None and not self.use_rotary):
             # Naive reference path: full (B, 2h, N, N) maps, exact reference order
             # of ops incl. the (no-op on finite inputs) nan_to_num
             # (multihead_diffattn.py:105-121). O(N²) memory — use for parity only.
@@ -253,7 +263,12 @@ class MultiheadDiffAttnCross(nn.Module):
         l_k2 = self.param("lambda_k2", lam_init, (hd,), jnp.float32)
         lambda_full = (jnp.exp(jnp.sum(l_q1 * l_k1)) - jnp.exp(jnp.sum(l_q2 * l_k2)) + lambda_init).astype(x_tok.dtype)
 
-        core = get_attention_core(self.attn_impl if self.attn_impl != "xla" else "chunked")
+        from cenet_tpu.ops.flash_attention import parse_impl
+
+        core_impl, tp_axis = parse_impl(self.attn_impl)
+        if core_impl == "xla":  # no naive-path need here; chunked is bit-identical
+            core_impl = "chunked"
+        core = get_attention_core(core_impl if tp_axis is None else f"{core_impl}@{tp_axis}")
         qs = q * jnp.asarray(scaling, q.dtype)
         attn = core(qs[:, 0::2], k[:, 0::2], v) - lambda_full * core(qs[:, 1::2], k[:, 1::2], v)
         attn = RMSNorm(2 * hd, eps=1e-5, affine=False, name="subln")(attn)

@@ -20,14 +20,81 @@ exists.
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+# Full-map fp32 footprint below which the naive fused-XLA path beats the Pallas
+# kernels (grid/padding overhead). Module-level so tests can shrink it to force
+# kernel routing at toy shapes.
+_SMALL_LIMIT = 32 * 1024 * 1024
 
 
 def _softmax_fp32(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     y = jax.nn.softmax(x.astype(jnp.float32), axis=axis)
     return y.astype(x.dtype)
+
+
+def parse_impl(impl: str) -> Tuple[str, Optional[str]]:
+    """Split an attention-impl string into (core, tp_axis).
+
+    ``'pallas@model'`` → ``('pallas', 'model')``: run the core head-local per
+    device via shard_map over the named mesh axis (tensor parallelism). A bare
+    ``'pallas'``/``'chunked'``/``'xla'`` has no axis (GSPMD-only placement).
+    """
+    if "@" in impl:
+        core, axis = impl.split("@", 1)
+        return core, axis
+    return impl, None
+
+
+def _pallas_routable() -> bool:
+    """Pallas kernels compile on real TPU, or anywhere under the test-only
+    interpreter flag (ops.pallas_attention._INTERPRET)."""
+    from cenet_tpu.ops import pallas_attention as _pa
+
+    return jax.default_backend() not in ("cpu", "gpu") or _pa._INTERPRET
+
+
+def _head_shard_specs(mesh, axis: str, nheads: int, batch: int):
+    """shard_map specs for (B, H, ...) attention operands, or None if the head
+    count doesn't divide over the axis. Batch rides 'data' when divisible."""
+    m = mesh.shape.get(axis, 1)
+    if m <= 1 or nheads % m:
+        return None
+    db = None
+    if axis != "data" and mesh.shape.get("data", 1) > 1 and batch % mesh.shape["data"] == 0:
+        db = "data"
+    return P(db, axis)
+
+
+def shard_heads(core, axis: Optional[str]):
+    """Wrap a ``core(q, k, v)`` attention fn to run head-local under TP.
+
+    With a registered mesh (core/mesh.set_attention_mesh) and a divisible head
+    count, the core runs inside shard_map over ``axis`` — each device computes
+    only its own heads, so fused Pallas kernels stay head-local instead of being
+    all-gathered by GSPMD (which cannot partition custom calls). Falls through
+    to the bare core whenever the mesh/axis/shape doesn't apply.
+    """
+    if axis is None:
+        return core
+
+    def wrapped(q, k, v):
+        from cenet_tpu.core.mesh import get_attention_mesh
+
+        mesh = get_attention_mesh()
+        if mesh is None:
+            return core(q, k, v)
+        spec = _head_shard_specs(mesh, axis, q.shape[1], q.shape[0])
+        if spec is None:
+            return core(q, k, v)
+        f = jax.shard_map(core, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+        return f(q, k, v)
+
+    return wrapped
 
 
 @functools.partial(jax.jit, static_argnames=("q_chunk",))
@@ -68,11 +135,23 @@ def diff_attention_core(q1, k1, q2, k2, v, lam, impl: str = "pallas") -> jnp.nda
     decomposes into two core calls (identical numerics to the reference's
     A₁V − λA₂V order of operations).
     """
+    impl, axis = parse_impl(impl)
+    if axis is not None:
+        from cenet_tpu.core.mesh import get_attention_mesh
+
+        mesh = get_attention_mesh()
+        if mesh is not None:
+            spec = _head_shard_specs(mesh, axis, q1.shape[1], q1.shape[0])
+            if spec is not None:
+                f = jax.shard_map(
+                    functools.partial(diff_attention_core, impl=impl), mesh=mesh,
+                    in_specs=(spec, spec, spec, spec, spec, P()), out_specs=spec,
+                )
+                return f(q1, k1, q2, k2, v, lam)
     b, h, n, _ = q1.shape
     m = k1.shape[2]
-    small = b * h * n * m * 4 <= 32 * 1024 * 1024
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if impl == "pallas" and on_tpu and not small:
+    small = b * h * n * m * 4 <= _SMALL_LIMIT
+    if impl == "pallas" and _pallas_routable() and not small:
         try:
             from cenet_tpu.ops.pallas_attention import pallas_diff_attention
 
@@ -96,12 +175,30 @@ def diff_attention_interleaved(q, k, v, lam, impl: str = "pallas") -> jnp.ndarra
     kernel reads head pairs via (2, bq, d) blocks, so no 0::2 slices, q-pads or
     dq scatters exist at the call site (measured −1.5 ms/step at DSEB1, round-3
     PERF_NOTES). Off-TPU it decomposes exactly like :func:`diff_attention_core`.
+
+    An ``'@axis'`` impl suffix (e.g. ``'pallas@model'``) runs the whole router
+    head-local inside shard_map over that mesh axis: each device keeps its own
+    head PAIRS (q/k sharded on dim 1 in blocks of 2h/m — pairs stay intact when
+    h % m == 0), so the fused kernel composes with tensor parallelism without
+    GSPMD gathers.
     """
+    impl, axis = parse_impl(impl)
+    if axis is not None:
+        from cenet_tpu.core.mesh import get_attention_mesh
+
+        mesh = get_attention_mesh()
+        if mesh is not None and q.shape[1] % (2 * mesh.shape.get(axis, 1)) == 0:
+            spec = _head_shard_specs(mesh, axis, q.shape[1], q.shape[0])
+            if spec is not None:
+                f = jax.shard_map(
+                    functools.partial(diff_attention_interleaved, impl=impl), mesh=mesh,
+                    in_specs=(spec, spec, spec, P()), out_specs=spec,
+                )
+                return f(q, k, v, lam)
     b, h2, n, _ = q.shape
     m = k.shape[2]
-    small = (b * h2 // 2) * n * m * 4 <= 32 * 1024 * 1024
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if impl == "pallas" and on_tpu and not small:
+    small = (b * h2 // 2) * n * m * 4 <= _SMALL_LIMIT
+    if impl == "pallas" and _pallas_routable() and not small:
         try:
             from cenet_tpu.ops.pallas_attention import pallas_diff_attention_interleaved
 
@@ -121,12 +218,11 @@ def flash_attention_core(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     """
     b, h, n, _ = q.shape
     m = k.shape[2]
-    if b * h * n * m * 4 <= 32 * 1024 * 1024:
+    if b * h * n * m * 4 <= _SMALL_LIMIT:
         logits = jnp.einsum("bhnd,bhmd->bhnm", q, k)
         weights = _softmax_fp32(logits)
         return jnp.einsum("bhnm,bhmd->bhnd", weights, v)
-    on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu:
+    if _pallas_routable():
         try:
             from cenet_tpu.ops.pallas_attention import pallas_attention
 

@@ -30,6 +30,10 @@ _NEG_INF = float("-inf")
 
 # The default scoped-VMEM budget (16 MB) is conservative; the diff-attention
 # kernels keep two softmax groups' temporaries live and need more headroom.
+# Test hook: force every kernel in this module through the Pallas interpreter
+# (pure-JAX emulation; works on CPU, incl. inside shard_map on virtual meshes).
+_INTERPRET = False
+
 _VMEM_64M = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
@@ -97,7 +101,7 @@ def _pallas_attention_fwd_impl(q, k, v, block_q: int = 256, interpret: bool = Fa
             pl.BlockSpec((1, bq, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(qf, kf, vf)
     o = out[:, :n, :dv].reshape(b, h, n, dv)
     if with_lse:
@@ -230,7 +234,7 @@ def _pallas_attention_bwd_fused_impl(q, k, v, o, lse, g, block_k: int = 128, int
             pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(qf, kf, vf, gf, lf, df)
     dq = dq[:, :n, :d].reshape(b, h, n, d).astype(q.dtype)
     dk = dk[:, :m, :d].reshape(b, h, m, d)
@@ -272,7 +276,7 @@ def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: 
             pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(qf, kf, vf, gf, lf, df)
 
     dk, dv = pl.pallas_call(
@@ -294,7 +298,7 @@ def _pallas_attention_bwd_impl(q, k, v, o, lse, g, block_q: int = 256, block_k: 
             pl.BlockSpec((1, bk, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, dvp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(qf, kf, vf, gf, lf, df)
 
     dq = dq[:, :n, :d].reshape(b, h, n, d)
@@ -383,7 +387,7 @@ def _diff_fwd_impl(q1, k1, q2, k2, v, lam, block_q: int = 256, interpret: bool =
             pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=_VMEM_64M,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(lam2, packq(q1), packk(k1), packq(q2), packk(k2), vf)
     o = out[:, :n, :dv].reshape(b, h, n, dv)
     if with_lse:
@@ -574,7 +578,7 @@ def _diff_bwd_onekernel_impl(q1, k1, q2, k2, v, lam, lse1, lse2, g,
             lspec,
         ),
         compiler_params=_VMEM_64M,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(lam2, q1f, k1f, q2f, k2f, vf, gf, l1f, l2f)
 
     dq1 = dq1[:, :n].reshape(b, h, n, d)
@@ -633,7 +637,7 @@ def _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, lse1, lse2, g,
         in_specs=[smem, qspec, kfull, qspec, kfull, vfull, dospec, lspec, lspec],
         out_specs=(qspec, qspec, lspec, lspec, lspec),
         compiler_params=_VMEM_64M,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(lam2, q1f, k1f, q2f, k2f, vf, gf, l1f, l2f)
 
     qfullspec = pl.BlockSpec((1, np_, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -653,7 +657,7 @@ def _diff_bwd_impl(q1, k1, q2, k2, v, lam, o, lse1, lse2, g,
         in_specs=[smem, qfullspec, kblk, qfullspec, kblk, vblk, dofull, lfull, lfull, lfull, lfull],
         out_specs=(kblk, kblk, vblk),
         compiler_params=_VMEM_64M,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(lam2, q1f, k1f, q2f, k2f, vf, gf, l1f, l2f, dd1, dd2)
 
     dq1 = dq1[:, :n, :d].reshape(b, h, n, d)
@@ -830,7 +834,7 @@ def _diff_fwd_pair_impl(q, k, v, lam, interpret: bool = False, with_lse: bool = 
             pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=_VMEM_64M,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(lam2, qf, kf, vf)
     o = (out if np_ == n else out[:, :n]).reshape(b, h, n, dv)
     if with_lse:
@@ -877,7 +881,7 @@ def _diff_bwd_pair_impl(q, k, v, lam, lse1, lse2, gout, interpret: bool = False)
             pl.BlockSpec((1, bq, 8), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=_VMEM_64M,
-        interpret=interpret,
+        interpret=interpret or _INTERPRET,
     )(lam2, qf, kf, vf, gf, lse1, lse2)
     dq = (dq if np_ == n else dq[:, :n]).reshape(b, h2, n, d)
     dk = dk[:, :m].reshape(b, h2, m, d).astype(k.dtype)

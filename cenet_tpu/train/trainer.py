@@ -72,6 +72,19 @@ class Trainer:
     """Owns model, optimizer, and the compiled train/eval step functions."""
 
     def __init__(self, cfg: ExperimentConfig, max_iterations: int, mesh=None, iters_per_epoch: int = 1):
+        if mesh is not None:
+            # Register for the attention routers, and under tensor parallelism
+            # (model axis > 1) tag the attention impl with '@model' so the cores
+            # run head-local inside shard_map instead of being all-gathered by
+            # GSPMD (which cannot partition Pallas custom calls) —
+            # ops/flash_attention.shard_heads, tests/test_tp_attention.py.
+            from cenet_tpu.core.mesh import set_attention_mesh
+
+            set_attention_mesh(mesh)
+            if mesh.shape.get("model", 1) > 1 and "@" not in cfg.model.attn_impl:
+                cfg = cfg.replace(
+                    model=dataclasses.replace(cfg.model, attn_impl=cfg.model.attn_impl + "@model")
+                )
         self.cfg = cfg
         self.model = build_model(cfg)
         self.criterion = Criterion(cfg.model.num_classes, cfg.train.loss_type, cfg.train.loss_weights)
