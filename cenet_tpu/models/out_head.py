@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cenet_tpu.nn import functional as F
-from cenet_tpu.nn.blocks import UnetOutBlock, UnetResBlock, make_up_block
+from cenet_tpu.nn.blocks import UnetOutBlock, UnetResBlock, UnetResBlockS2D, make_up_block
 from cenet_tpu.nn.layers import shifted_normal_init
 
 
@@ -28,9 +28,15 @@ class OutHead(nn.Module):
         om_chs = self.dec_in_channels // 2
         w = self.param("w", shifted_normal_init(0.75), (om_chs,), jnp.float32)
 
-        # raw-image branch: rb(k=5) + maxpool2 (out.py:41-44,59), gated by w (out.py:70)
-        rb_x = UnetResBlock(self.x_in_channels, om_chs, 5, 1, name="rb")(x, train)
-        rb_x = F.max_pool2d(rb_x, 2, 2)
+        # raw-image branch: rb(k=5) + maxpool2 (out.py:41-44,59), gated by w (out.py:70).
+        # Even-dim inputs take the space-to-depth-resident block (identical math
+        # and param tree; MXU-dense convs, pool = phase max — see UnetResBlockS2D)
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            rb_s = UnetResBlockS2D(self.x_in_channels, om_chs, 5, name="rb")(x, train)
+            rb_x = F.depth_phase_max(rb_s)
+        else:
+            rb_x = UnetResBlock(self.x_in_channels, om_chs, 5, 1, name="rb")(x, train)
+            rb_x = F.max_pool2d(rb_x, 2, 2)
         rb_x = w.astype(rb_x.dtype) * rb_x
 
         # decoder branch: configurable ×2 up-block (out.py:51-58)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cenet_tpu.nn import functional as F
@@ -138,6 +139,81 @@ class UnetResBlock(nn.Module):
             )(residual)
             residual = BatchNorm(self.out_channels, name="norm3")(residual, train)
         return act(out + residual)
+
+
+class _ConvWeight(nn.Module):
+    """Bare conv weight param, path-compatible with :class:`Conv2d` (``<name>/weight``)."""
+
+    shape: tuple
+    init: object
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("weight", self.init, self.shape, jnp.float32)
+
+
+class UnetResBlockS2D(nn.Module):
+    """Space-to-depth-resident :class:`UnetResBlock` (k=5, stride 1) for
+    lane-starved full-resolution sites (the OutHead image branch, reference
+    ``out.py:41-44``).
+
+    Identical math and an IDENTICAL param/batch-stats tree to
+    ``UnetResBlock(in, out, 5, 1)`` — converter/checkpoints interchange freely —
+    but the whole block runs on 2×2 space-to-depth tensors: the 5×5 convs
+    become (3,3,4·Cin,4·Cout) MXU-dense convs (same taps, structural zeros;
+    ``F.repack_s2d_5x5``), BatchNorm sees a (B,H/2,W/2,4,C) phase view (the
+    reduction covers exactly the original value set, so torch BN semantics and
+    running stats are preserved), and the output STAYS packed — the caller's
+    MaxPool 2×2/2 is ``F.depth_phase_max`` (a lane-group max), so nothing is
+    ever unpacked. Requires even H, W.
+
+    Why: at 224²×32ch XLA runs the 5×5 as 25 k=32/n=32 matmuls (~7% MFU);
+    per-conv S2D repacking was a measured round-2 negative (pack/unpack
+    transposes ate the win) and Pallas tap-packing a measured round-3 negative
+    (VPU rearrangement outweighs the MXU saving) — block-level S2D residency
+    pays one tiny pack of the raw input for three dense convs. PERF_NOTES r3.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 5
+    init_scheme: str = "trunc_normal"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.kernel_size == 5, "S2D residency is specialized to the k=5 branch"
+        w_init = trunc_normal_init(0.02) if self.init_scheme == "trunc_normal" else normal_init(0.02)
+        act = get_act("leakyrelu", neg_slope=0.01)
+        cin, cout = self.in_channels, self.out_channels
+
+        def phase_bn(name, y, train):
+            b, h2, w2, c4 = y.shape
+            y5 = y.reshape(b, h2, w2, 4, c4 // 4)
+            return BatchNorm(c4 // 4, name=name)(y5, train).reshape(b, h2, w2, c4)
+
+        def s2d_conv(y, w):
+            return jnp.asarray(
+                jax.lax.conv_general_dilated(
+                    y, w.astype(y.dtype), (1, 1),
+                    ((1, 1), (1, 1)) if w.shape[0] == 3 else ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+
+        xs = F.space_to_depth2(x)
+        w1 = _ConvWeight((5, 5, cin, cout), w_init, name="conv1")()
+        y = s2d_conv(xs, F.repack_s2d_5x5(w1))
+        y = phase_bn("norm1", y, train)
+        y = act(y)
+        w2 = _ConvWeight((5, 5, cout, cout), w_init, name="conv2")()
+        y = s2d_conv(y, F.repack_s2d_5x5(w2))
+        y = phase_bn("norm2", y, train)
+        residual = xs
+        if self.in_channels != self.out_channels:
+            w3 = _ConvWeight((1, 1, cin, cout), w_init, name="conv3")()
+            residual = s2d_conv(xs, F.repack_s2d_1x1(w3))
+            residual = phase_bn("norm3", residual, train)
+        return act(y + residual)
 
 
 class UnetOutBlock(nn.Module):

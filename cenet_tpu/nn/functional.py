@@ -272,3 +272,74 @@ def conv5x5_packed(x: "jnp.ndarray", w: "jnp.ndarray") -> "jnp.ndarray":
     )
     y = yp.reshape(b, h // 2, wd // 2, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(b, h, wd, cout)
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth residency helpers (round 3)
+#
+# The OutHead image branch (reference ``out.py:41-44``: UnetResBlock(k=5) on the
+# raw 224² image, then MaxPool 2×2/2) runs its 5×5 convs at ≤32 channels — <1/4
+# MXU lane utilization per tap matmul. Living in 2×2 space-to-depth space makes
+# the convs (3, 3, 4·Cin, 4·Cout) — MXU-dense — with ONE tiny pack of the
+# 1-channel input and NO unpack: the trailing 2×2/2 maxpool is exactly a max
+# over the four phase channels of one packed pixel (:func:`depth_phase_max`).
+# Per-conv S2D packing was a measured negative (round 2: the pack/unpack
+# transposes ate the MXU win); block-level residency amortizes one pack over
+# the whole branch. Phase layout everywhere: channel (py·2+px)·C + c.
+# ---------------------------------------------------------------------------
+
+
+def space_to_depth2(x: "jnp.ndarray") -> "jnp.ndarray":
+    """(B, H, W, C) → (B, H/2, W/2, 4·C), phase-major ((py·2+px)·C + c)."""
+    b, h, w, c = x.shape
+    xp = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return xp.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_phase_max(x: "jnp.ndarray") -> "jnp.ndarray":
+    """Max over the 4 spatial phases of an S2D tensor — exactly MaxPool 2×2/2 of
+    the unpacked map: the pool window (2h..2h+1, 2w..2w+1) IS the four phases
+    of packed pixel (h, w)."""
+    b, h2, w2, c4 = x.shape
+    return jnp.max(x.reshape(b, h2, w2, 4, c4 // 4), axis=3)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_tap_idx_5x5() -> np.ndarray:
+    """(3,3,2,2,2,2) map (dy,dx,py,px,qy,qx) → raster 5×5 tap index, 25 = zero.
+
+    Inverse of the forward mapping in :func:`conv5x5_packed`: iy = qy-2+ky,
+    py = iy%2, dy = (iy-py)//2+1  ⇒  ky = 2·dy + py - qy (valid iff 0 ≤ ky < 5).
+    """
+    idx = np.full((3, 3, 2, 2, 2, 2), 25, np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            for py in range(2):
+                for px in range(2):
+                    for qy in range(2):
+                        for qx in range(2):
+                            ky = 2 * dy + py - qy
+                            kx = 2 * dx + px - qx
+                            if 0 <= ky < 5 and 0 <= kx < 5:
+                                idx[dy, dx, py, px, qy, qx] = ky * 5 + kx
+    return idx
+
+
+def repack_s2d_5x5(w: "jnp.ndarray") -> "jnp.ndarray":
+    """(5,5,cin,cout) → (3,3,4·cin,4·cout): the exact S2D kernel (same taps,
+    zeros elsewhere; identical math to :func:`conv5x5_packed`'s loop-built
+    kernel but as one constant-index gather — differentiable and cheap)."""
+    cin, cout = w.shape[2], w.shape[3]
+    wext = jnp.concatenate([w.reshape(25, cin, cout), jnp.zeros((1, cin, cout), w.dtype)])
+    idx = jnp.asarray(_s2d_tap_idx_5x5().reshape(-1))
+    w3 = jnp.take(wext, idx, axis=0).reshape(3, 3, 2, 2, 2, 2, cin, cout)
+    w3 = w3.transpose(0, 1, 2, 3, 6, 4, 5, 7)  # (dy,dx,py,px,ci,qy,qx,co)
+    return w3.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+def repack_s2d_1x1(w: "jnp.ndarray") -> "jnp.ndarray":
+    """(1,1,cin,cout) → (1,1,4·cin,4·cout): phase-diagonal 1×1 kernel."""
+    cin, cout = w.shape[2], w.shape[3]
+    eye = jnp.eye(4, dtype=w.dtype)
+    w4 = jnp.einsum("pq,io->piqo", eye, w[0, 0])
+    return w4.reshape(1, 4 * cin, 4 * cout)[None]

@@ -212,3 +212,43 @@ def test_up_block_factory_all_kinds(rng):
         v = blk.init(jax.random.PRNGKey(0), x, train=False)
         y = blk.apply(v, x, train=False)
         assert y.shape == (1, 16, 16, 4), kind
+
+
+def test_unet_res_block_s2d_equivalence(rng):
+    """UnetResBlockS2D == UnetResBlock(k=5,s=1) + maxpool via phase-max: same
+    params/batch-stats tree, same outputs (train AND eval), same updated stats."""
+    from cenet_tpu.nn import functional as F
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)), jnp.float32)
+    ref = B.UnetResBlock(1, 8, 5, 1)
+    s2d = B.UnetResBlockS2D(1, 8, 5)
+    vref = ref.init(jax.random.PRNGKey(0), x, True)
+    vs2d = s2d.init(jax.random.PRNGKey(0), x, True)
+    # identical trees (names AND shapes) — converter/checkpoint interchangeable
+    assert jax.tree_util.tree_structure(vref) == jax.tree_util.tree_structure(vs2d)
+    for a, b in zip(jax.tree.leaves(vref), jax.tree.leaves(vs2d)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))  # same init draws
+
+    # eval path
+    y_ref = F.max_pool2d(ref.apply(vref, x, False), 2, 2)
+    y_s2d = F.depth_phase_max(s2d.apply(vref, x, False))
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_ref), atol=2e-6, rtol=2e-6)
+
+    # train path: outputs and updated batch stats must match
+    y_ref, mref = ref.apply(vref, x, True, mutable=["batch_stats"])
+    y_s2d, ms2d = s2d.apply(vref, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(F.depth_phase_max(y_s2d)), np.asarray(F.max_pool2d(y_ref, 2, 2)), atol=2e-6, rtol=2e-6
+    )
+    for a, b in zip(jax.tree.leaves(mref), jax.tree.leaves(ms2d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6, rtol=2e-6)
+
+    # gradients flow identically through both formulations
+    def loss(fn, v):
+        return jnp.sum(jnp.square(fn(v)))
+
+    g_ref = jax.grad(lambda v: loss(lambda v: ref.apply(v, x, False), v))(vref)["params"]
+    g_s2d = jax.grad(lambda v: loss(lambda v: s2d.apply(v, x, False), v))(vref)["params"]
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s2d)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-5)

@@ -257,9 +257,10 @@ def test_pallas_smallc_conv_fwd_interpret_matches_lax(rng):
 
 
 def test_pallas_smallc_conv_bwd_interpret_matches_autodiff(rng):
-    from cenet_tpu.ops.smallc_conv import _lax_conv, _pallas_conv_dw, _pallas_conv_fwd
+    """Fused one-kernel (dx, dw) vs autodiff of the lax conv."""
+    from cenet_tpu.ops.smallc_conv import _lax_conv, _pallas_conv_bwd
 
-    for (shape, k, cout) in [((2, 12, 12, 8), 5, 16), ((1, 10, 14, 1), 3, 8)]:
+    for (shape, k, cout) in [((2, 12, 12, 8), 5, 16), ((1, 10, 14, 1), 3, 8), ((2, 16, 16, 64), 3, 64)]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         w = jnp.asarray(rng.standard_normal((k, k, shape[-1], cout)), jnp.float32)
         g = jnp.asarray(rng.standard_normal(shape[:3] + (cout,)), jnp.float32)
@@ -268,9 +269,7 @@ def test_pallas_smallc_conv_bwd_interpret_matches_autodiff(rng):
             return jnp.sum(_lax_conv(x, w, k // 2) * g)
 
         dx_ref, dw_ref = jax.grad(f, argnums=(0, 1))(x, w)
-        wt = jnp.flip(jnp.flip(w, 0), 1).transpose(0, 1, 3, 2)
-        dx = _pallas_conv_fwd(g, wt, k // 2, interpret=True)
-        dw = _pallas_conv_dw(x, g, k, k // 2, interpret=True)
+        dx, dw = _pallas_conv_bwd(x, w, g, k // 2, interpret=True)
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=3e-4, rtol=3e-4)
         np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=3e-4, rtol=3e-4)
 
