@@ -14,6 +14,9 @@ from cenet_tpu.nn import functional as F
 from cenet_tpu.nn.blocks import UnetOutBlock, UnetResBlock, UnetResBlockS2D, make_up_block
 from cenet_tpu.nn.layers import shifted_normal_init
 
+# escape hatch for A/B numerics testing (tests only): forces the unpacked branch
+_FORCE_NO_S2D = False
+
 
 class OutHead(nn.Module):
     dec_in_channels: int
@@ -31,7 +34,7 @@ class OutHead(nn.Module):
         # raw-image branch: rb(k=5) + maxpool2 (out.py:41-44,59), gated by w (out.py:70).
         # Even-dim inputs take the space-to-depth-resident block (identical math
         # and param tree; MXU-dense convs, pool = phase max — see UnetResBlockS2D)
-        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0 and not _FORCE_NO_S2D:
             rb_s = UnetResBlockS2D(self.x_in_channels, om_chs, 5, name="rb")(x, train)
             rb_x = F.depth_phase_max(rb_s)
         else:

@@ -299,9 +299,20 @@ def space_to_depth2(x: "jnp.ndarray") -> "jnp.ndarray":
 def depth_phase_max(x: "jnp.ndarray") -> "jnp.ndarray":
     """Max over the 4 spatial phases of an S2D tensor — exactly MaxPool 2×2/2 of
     the unpacked map: the pool window (2h..2h+1, 2w..2w+1) IS the four phases
-    of packed pixel (h, w)."""
+    of packed pixel (h, w).
+
+    Implemented via an integer argmax + take_along_axis rather than
+    ``jnp.max``: the reduce-max VJP masks on ``x == max`` where jit may
+    rematerialize ``x`` with different fusion/reassociation than the forward —
+    near-ties then route gradients to a different phase (measured: %-level
+    conv-wgrad deviations under jit when a train-mode BN feeds the pool). The
+    argmax pins the backward routing to the forward's winner, and its
+    first-max tie semantics match torch's MaxPool2d (window raster order ==
+    phase order)."""
     b, h2, w2, c4 = x.shape
-    return jnp.max(x.reshape(b, h2, w2, 4, c4 // 4), axis=3)
+    x5 = x.reshape(b, h2, w2, 4, c4 // 4)
+    idx = jnp.argmax(x5, axis=3)
+    return jnp.take_along_axis(x5, idx[:, :, :, None, :], axis=3)[:, :, :, 0, :]
 
 
 @functools.lru_cache(maxsize=None)
