@@ -144,9 +144,11 @@ class Conv2d(nn.Module):
         else:
             # NB: two alternative small-channel conv paths exist with MEASURED
             # NEGATIVE results (PERF_NOTES) and are deliberately not routed:
-            # ops/smallc_conv.py (Pallas tap-packing; Mosaic compile >25 min) and
-            # nn/functional.conv5x5_packed (space-to-depth 3×3 repack; the pack/
-            # unpack transposes ate exactly what the full-lane matmuls saved).
+            # ops/smallc_conv.py (Pallas tap-packing: VPU operand rearrangement
+            # outweighs the MXU saving) and nn/functional.conv5x5_packed
+            # (PER-CONV space-to-depth repack; the pack/unpack transposes ate
+            # the win). Lane-starved full-res sites are instead handled at the
+            # BLOCK level by space-to-depth residency (blocks.UnetResBlockS2D).
             y = jax.lax.conv_general_dilated(
                 x,
                 weight.astype(x.dtype),

@@ -287,7 +287,15 @@ _conv_small_c_pallas.defvjp(_csc_fwd, _csc_bwd)
 def conv_small_c(x: jnp.ndarray, w: jnp.ndarray, padding: int) -> jnp.ndarray:
     """Stride-1 KxK conv, NHWC, HWIO weights; Pallas tap-packed path on TPU for
     lane-starved channel counts at shape-preserving padding; lax fallback
-    elsewhere. Routed from :class:`cenet_tpu.nn.layers.Conv2d`."""
+    elsewhere.
+
+    STATUS: UNROUTED — measured negative (round 3, PERF_NOTES): even the best
+    formulation (in-kernel f32 rolls, zero host packing) runs 4.0 vs lax 2.4 ms
+    fwd+bwd at the 224²×32ch target because building 128-lane operands from
+    32-lane data costs ~2 GB/step of VPU-speed VMEM traffic against a ~1.2 ms
+    MXU saving. The production answer for those sites is space-to-depth
+    residency (``nn/blocks.py::UnetResBlockS2D``). Kept as a tested,
+    documented negative result; do not re-route without beating that."""
     b, h, wd, cin = x.shape
     k = w.shape[0]
     cout = w.shape[3]
