@@ -335,3 +335,97 @@ def test_outhead_upblock_parity(up_block, merge_mode):
     )
     diff = _max_abs(want, np.asarray(got).transpose(0, 3, 1, 2))
     assert diff <= 1e-5, f"OutHead[{up_block},{merge_mode}] diff {diff:.2e}"
+
+
+def test_cenet_org_train_step_parity():
+    """CENetOrg one fp32 training forward+backward on an identical batch: loss,
+    the full gradient tree (incl. λ and the DoG/SkipEnhancer path), and post-step
+    BN running stats vs the actual reference ≤ tolerance. Mirrors
+    test_cenet_train_step_parity for the org variant (reference
+    ``networks/cenet_org/net.py``, train loop ``main_synapse.py:256-276``)."""
+    torch = _torch()
+    networks = load_reference()
+    ref = networks.CENetOrg(
+        input_channels=1, num_classes=4, scale_factors=[0.8, 0.4],
+        num_heads=[4, 4, 4], encoder="pvt_v2_b0", skip_mode="cat",
+    )
+    ref.backbone.reset_drop_path(0.0)
+    ref.train()
+
+    from cenet_tpu.models.cenet import CENetOrg
+    from cenet_tpu.train.losses import cross_entropy_loss
+
+    model = CENetOrg(
+        input_channels=1, num_classes=4, scale_factors=(0.8, 0.4),
+        num_heads=(4, 4, 4), encoder="pvt_v2_b0", skip_mode="cat",
+        attn_impl="xla", drop_path_rate=0.0,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 1, 224, 224)).astype(np.float32)
+    labels = rng.integers(0, 4, (2, 224, 224))
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = model.init(KEY, xj, train=False)
+    variables = _convert(ref, variables, "cenet_org")
+
+    tx = _torch().from_numpy(x)
+    tl = torch.from_numpy(labels).long()
+    logits = ref(tx)
+    loss_t = torch.nn.functional.cross_entropy(logits, tl)
+    loss_t.backward()
+    grad_sd = {
+        k: (p.grad if p.grad is not None else torch.zeros_like(p)).detach().numpy()
+        for k, p in ref.named_parameters()
+    }
+    post_sd = _sd_numpy(ref)
+
+    def loss_fn(params):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            xj, train=True, deterministic=False,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        return cross_entropy_loss(out.astype(jnp.float32), jnp.asarray(labels)), mut["batch_stats"]
+
+    (loss_j, new_bs), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
+    assert abs(float(loss_j) - float(loss_t)) <= 1e-5 * max(1.0, abs(float(loss_t))), (
+        f"loss: torch {float(loss_t):.6f} vs jax {float(loss_j):.6f}")
+
+    from cenet_tpu.convert.torch2jax import convert_state_dict
+
+    zeros = jax.tree.map(lambda a: np.zeros(np.shape(a), np.float32), variables["params"])
+    want_tree, _ = convert_state_dict(grad_sd, {"params": zeros}, "cenet_org", strict=False)
+    flat_got = {tuple(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+                for kp, v in jax.tree_util.tree_flatten_with_path(grads)[0]}
+    n_lambda = 0
+    for kp, want in jax.tree_util.tree_flatten_with_path(want_tree["params"])[0]:
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        want = np.asarray(want)
+        # Looser absolute floor than the flagship gate (1e-5): the org variant
+        # has a learned 1→3 stem whose weight grads are ~1e-5-tiny from heavy
+        # cancellation through the stem BN — at that scale the measured
+        # fp64-vs-fp64 torch/JAX gap (~1.3e-6 abs; both sides fp32-stable vs
+        # their own fp64) from sub-parity-bar functional residue (fp32-computed
+        # DoG/interp constants, max-reduce tie routing) dominates. 1e-4 still
+        # fails loudly on real bugs: transpose/momentum/λ errors perturb the
+        # 1e-3..1e-1-magnitude leaves far above it.
+        tol = 1e-4 + 2e-3 * float(np.max(np.abs(want)))
+        diff = float(np.max(np.abs(flat_got[path] - want)))
+        assert diff <= tol, f"grad mismatch at {'/'.join(path)}: {diff:.3e} > {tol:.3e}"
+        if "lambda_" in path[-1]:
+            n_lambda += 1
+    assert n_lambda >= 4
+
+    bs_tmpl = jax.tree.map(lambda a: np.zeros(np.shape(a), np.float32), variables["batch_stats"])
+    want_bs, _ = convert_state_dict(post_sd, {"params": variables["params"], "batch_stats": bs_tmpl},
+                                    "cenet_org", strict=False)
+    got_bs = {tuple(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+              for kp, v in jax.tree_util.tree_flatten_with_path(new_bs)[0]}
+    n_bn = 0
+    for kp, want in jax.tree_util.tree_flatten_with_path(want_bs["batch_stats"])[0]:
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        diff = float(np.max(np.abs(got_bs[path] - np.asarray(want))))
+        assert diff <= 1e-4, f"BN running-stat mismatch at {'/'.join(path)}: {diff:.3e}"
+        n_bn += 1
+    assert n_bn > 0
