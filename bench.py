@@ -94,6 +94,7 @@ def main():
     # spread reported alongside the best-of-N headline so tunnel stalls are
     # QUANTIFIED rather than excluded.
     sust = []
+    sust_losses = []
     t_start = time.time()
     i = 3
     while time.time() - t_start < 60.0:
@@ -101,6 +102,7 @@ def main():
         state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
         final_loss = float(loss)
         sust.append(time.time() - t0)
+        sust_losses.append(final_loss)
         i += 1
     sust_ms = [s / K * 1e3 for s in sust]
     sust_ips = bs * K * len(sust) / sum(sust)
@@ -180,6 +182,11 @@ def main():
                 "host_aug_images_per_sec": round(host_aug_ips, 1),
                 "train_step_ms": round(dt * 1e3, 2),
                 "final_loss": round(final_loss, 4),
+                # learning signal over the sustained phase (the optimizer is
+                # really descending, not just dispatching): loss on the repeated
+                # batch set at the start vs end of the >=60 s run
+                "sustained_loss_first": round(sust_losses[0], 4),
+                "sustained_loss_last": round(sust_losses[-1], 4),
                 "device": str(jax.devices()[0]),
             }
         )
