@@ -14,11 +14,17 @@ but 2.3 GB of HBM traffic per image); a torch step issues O(2000) CUDA kernels
 (~5-10 µs launch each → 15-25 ms floor) plus ~2.4 GB of attention-map traffic in
 the DSEB1 diff-attention (~10 ms at A100's effective bandwidth) ⇒ ≈ 30-40 ms/step
 ⇒ ~250 img/s. This is an estimate, not a measurement.
+
+Robustness (round-4, after BENCH_r03 lost the round's number to a transient
+axon-init failure): backend acquisition retries with backoff; every metric
+section is independently guarded; and the script ALWAYS prints a JSON line —
+on total failure it carries an "error" field instead of silently dying.
 """
 
 import json
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
@@ -26,9 +32,60 @@ import numpy as np
 
 A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE = 250.0
 
+# Results are accumulated here and printed no matter what fails below.
+RESULT = {
+    "metric": "synapse_cenet_train_images_per_sec_per_chip",
+    "value": None,
+    "unit": "img/s",
+    "vs_baseline": None,
+}
+
+
+def emit_and_exit(code=0):
+    print(json.dumps(RESULT))
+    sys.exit(code)
+
+
+def acquire_tpu(retries=5, base_delay=10.0):
+    """Return (jax, tpu_device, cpu_devices); retry transient axon-init failures.
+
+    ``jax.local_devices()`` (no backend arg) raises if ANY backend — including
+    axon — fails to initialize, which is exactly how round 3 lost its number.
+    Query each backend explicitly instead, and retry: the tunnel's init failures
+    are frequently transient.
+    """
+    import jax
+
+    last = None
+    for attempt in range(retries):
+        try:
+            devs = jax.devices()  # axon backend (or whatever the platform default is)
+            tpu = devs[0]
+            try:
+                cpu = list(jax.local_devices(backend="cpu"))
+            except Exception:
+                cpu = []
+            return jax, tpu, cpu
+        except Exception as e:  # noqa: BLE001 — init errors vary by plugin
+            last = e
+            delay = base_delay * (2 ** attempt)
+            print(
+                f"[bench] backend init attempt {attempt + 1}/{retries} failed: "
+                f"{type(e).__name__}: {str(e)[:200]}; retrying in {delay:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(delay)
+    raise RuntimeError(f"TPU backend unavailable after {retries} attempts: {last}")
+
 
 def main():
-    import jax
+    try:
+        jax, tpu, cpu = acquire_tpu()
+    except Exception as e:
+        RESULT["error"] = f"backend acquisition failed: {type(e).__name__}: {str(e)[:400]}"
+        emit_and_exit(0)
+
     import jax.numpy as jnp
 
     # persistent compile cache: the flagship train step takes minutes to compile
@@ -36,30 +93,34 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from cenet_tpu.core.config import get_preset
-    from cenet_tpu.train.trainer import Trainer
+    RESULT["device"] = str(tpu)
 
-    cfg = get_preset("synapse")
-    # max_iterations must exceed the total steps the bench runs (incl. the 60 s
-    # sustained phase) or the poly schedule hits its clamp and lr goes to 0
-    tr = Trainer(cfg, max_iterations=100_000)
-    bs = 8
+    try:
+        from cenet_tpu.core.config import get_preset
+        from cenet_tpu.train.trainer import Trainer
 
-    # init on CPU (fast eager path), then place on the TPU
-    cpu = [d for d in jax.local_devices(backend="cpu")] if "cpu" in {d.platform for d in jax.local_devices()} else []
-    tpu = jax.devices()[0]
-    t0 = time.time()
-    with jax.default_device(cpu[0]) if cpu else jax.default_device(tpu):
-        state = tr.init_state(jax.random.PRNGKey(0), (1, 224, 224, 1))
-    state = jax.device_put(state, tpu)
-    jax.block_until_ready(state.params)
+        cfg = get_preset("synapse")
+        # max_iterations must exceed the total steps the bench runs (incl. the 60 s
+        # sustained phase) or the poly schedule hits its clamp and lr goes to 0
+        tr = Trainer(cfg, max_iterations=100_000)
+        bs = 8
 
-    images = jax.device_put(
-        jnp.asarray(np.random.default_rng(0).standard_normal((bs, 224, 224, 1)), jnp.float32), tpu
-    )
-    labels = jax.device_put(
-        jnp.asarray(np.random.default_rng(1).integers(0, 9, (bs, 224, 224)), jnp.int32), tpu
-    )
+        # init on CPU (fast eager path), then place on the TPU
+        with jax.default_device(cpu[0]) if cpu else jax.default_device(tpu):
+            state = tr.init_state(jax.random.PRNGKey(0), (1, 224, 224, 1))
+        state = jax.device_put(state, tpu)
+        jax.block_until_ready(state.params)
+
+        images = jax.device_put(
+            jnp.asarray(np.random.default_rng(0).standard_normal((bs, 224, 224, 1)), jnp.float32), tpu
+        )
+        labels = jax.device_put(
+            jnp.asarray(np.random.default_rng(1).integers(0, 9, (bs, 224, 224)), jnp.int32), tpu
+        )
+    except Exception as e:
+        RESULT["error"] = f"setup failed: {type(e).__name__}: {str(e)[:400]}"
+        traceback.print_exc(file=sys.stderr)
+        emit_and_exit(0)
 
     # NOTE: on the axon tunnel, block_until_ready does NOT synchronize; the only
     # reliable fence is a host transfer. All timing below chains computations and
@@ -70,127 +131,137 @@ def main():
     # Deep multi-step dispatch: the per-call overhead through the tunnel is
     # ~150-300 ms regardless of K (measured K=10/50/100), so a production loop
     # amortizes it (cfg.train.steps_per_call); K=100 measured 43.1 vs 44.3 ms/step.
-    K = 100
-    rng = jax.random.PRNGKey(0)
-    mstep = tr.make_multi_step(K)
-    im_stack = jnp.stack([images + 0.01 * i for i in range(K)])
-    lb_stack = jnp.stack([labels] * K)
-    state, loss = mstep(state, im_stack, lb_stack, rng)  # compile
-    float(loss)
+    try:
+        K = 100
+        rng = jax.random.PRNGKey(0)
+        mstep = tr.make_multi_step(K)
+        im_stack = jnp.stack([images + 0.01 * i for i in range(K)])
+        lb_stack = jnp.stack([labels] * K)
+        state, loss = mstep(state, im_stack, lb_stack, rng)  # compile
+        float(loss)
 
-    # Per-call timing, best-of-3: the tunnel occasionally stalls a call for
-    # seconds (measured 192 → 87 img/s on one run); the minimum is the honest
-    # sustained device+dispatch rate. Each call is synced via float(loss).
-    per_call = []
-    for i in range(3):
-        t0 = time.time()
-        state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
-        final_loss = float(loss)
-        per_call.append(time.time() - t0)
-    dt = min(per_call) / K
-    train_ips = bs / dt
+        # Per-call timing, best-of-3: the tunnel occasionally stalls a call for
+        # seconds (measured 192 → 87 img/s on one run); the minimum is the honest
+        # sustained device+dispatch rate. Each call is synced via float(loss).
+        per_call = []
+        for i in range(3):
+            t0 = time.time()
+            state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
+            final_loss = float(loss)
+            per_call.append(time.time() - t0)
+        dt = min(per_call) / K
+        train_ips = bs / dt
+        RESULT["value"] = round(train_ips, 1)
+        RESULT["vs_baseline"] = round(train_ips / A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE, 2)
+        RESULT["train_step_ms"] = round(dt * 1e3, 2)
+        RESULT["final_loss"] = round(final_loss, 4)
+    except Exception as e:
+        RESULT["error"] = f"train bench failed: {type(e).__name__}: {str(e)[:400]}"
+        traceback.print_exc(file=sys.stderr)
+        emit_and_exit(0)
 
     # Sustained mode (VERDICT r2 #8): ≥60 s of continuous training calls, mean ±
     # spread reported alongside the best-of-N headline so tunnel stalls are
     # QUANTIFIED rather than excluded.
-    sust = []
-    sust_losses = []
-    t_start = time.time()
-    i = 3
-    while time.time() - t_start < 60.0:
-        t0 = time.time()
-        state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
-        final_loss = float(loss)
-        sust.append(time.time() - t0)
-        sust_losses.append(final_loss)
-        i += 1
-    sust_ms = [s / K * 1e3 for s in sust]
-    sust_ips = bs * K * len(sust) / sum(sust)
-    sust_spread = (max(sust_ms) - min(sust_ms)) / (sum(sust_ms) / len(sust_ms))
+    try:
+        sust = []
+        sust_losses = []
+        t_start = time.time()
+        i = 3
+        while time.time() - t_start < 60.0:
+            t0 = time.time()
+            state, loss = mstep(state, im_stack, lb_stack, jax.random.fold_in(rng, i))
+            sust_losses.append(float(loss))
+            sust.append(time.time() - t0)
+            i += 1
+        sust_ms = [s / K * 1e3 for s in sust]
+        RESULT["train_sustained_images_per_sec"] = round(bs * K * len(sust) / sum(sust), 1)
+        RESULT["train_sustained_spread"] = round(
+            (max(sust_ms) - min(sust_ms)) / (sum(sust_ms) / len(sust_ms)), 3
+        )
+        # learning signal over the sustained phase (the optimizer is really
+        # descending, not just dispatching)
+        RESULT["sustained_loss_first"] = round(sust_losses[0], 4)
+        RESULT["sustained_loss_last"] = round(sust_losses[-1], 4)
+    except Exception as e:
+        RESULT.setdefault("warnings", []).append(f"sustained phase failed: {type(e).__name__}")
+        traceback.print_exc(file=sys.stderr)
 
     # eval throughput: K forwards per dispatch via lax.scan (the production eval
     # path — per-call host dispatch was the round-1 bottleneck: 141 img/s with
     # one forward per call vs the expected ≥2.5× train)
-    KE = 30
-    meval = tr.make_multi_eval_step(KE)
-    im_eval = jnp.stack([images] * KE)
-    preds = meval(state, im_eval)  # compile
-    int(preds[0, 0, 0, 0])
-    t0 = time.time()
-    for _ in range(3):
-        preds = meval(state, im_eval)
-    int(preds[0, 0, 0, 0])  # sync
-    eval_ips = 3 * KE * bs / (time.time() - t0)
-
-    eval_step = tr.eval_step  # single-dispatch path (used by volume inference)
-    probs = eval_step(state, images)
-    float(probs[0, 0, 0, 0])
+    try:
+        KE = 30
+        meval = tr.make_multi_eval_step(KE)
+        im_eval = jnp.stack([images] * KE)
+        preds = meval(state, im_eval)  # compile
+        int(preds[0, 0, 0, 0])
+        t0 = time.time()
+        for _ in range(3):
+            preds = meval(state, im_eval)
+        int(preds[0, 0, 0, 0])  # sync
+        RESULT["eval_images_per_sec_per_chip"] = round(3 * KE * bs / (time.time() - t0), 1)
+    except Exception as e:
+        RESULT.setdefault("warnings", []).append(f"eval phase failed: {type(e).__name__}")
+        traceback.print_exc(file=sys.stderr)
 
     # volume-inference throughput (the reference's per-slice eval protocol, batched):
     # synthetic 64-slice 512² CT volume → zoom 224 → forward → argmax → back-zoom
-    from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig
+    try:
+        from cenet_tpu.evaluate.volume import VolumeInferencer, VolumeInferenceConfig
 
-    vol = np.random.default_rng(2).standard_normal((64, 512, 512)).astype(np.float32)
-    # production volume path (round 3): fp16 upload (halves the dominant 67 MB
-    # tunnel transfer; 9.0 → 14.5 slices/s same-session) + per-chunk async
-    # dispatch (scan-dispatch measured negative at 2 chunks/volume — volume.py)
-    vcfg = VolumeInferenceConfig(img_size=224, chunk=32, num_classes=9)
-    inf = VolumeInferencer(lambda x: eval_step(state, x), vcfg)
-    _ = inf.predict_volume(vol)  # compile
-    vt = []
-    for _ in range(2):  # best-of-2 (transfer-heavy: tunnel bandwidth varies ~2x)
-        t0 = time.time()
-        pred = inf.predict_volume(vol)
-        _ = int(pred[0, 0, 0])
-        vt.append(time.time() - t0)
-    vol_ips = 64 / min(vt)
+        eval_step = tr.eval_step  # single-dispatch path (used by volume inference)
+        probs = eval_step(state, images)
+        float(probs[0, 0, 0, 0])
+
+        vol = np.random.default_rng(2).standard_normal((64, 512, 512)).astype(np.float32)
+        # bench opts into fp16 upload (halves the dominant 67 MB tunnel transfer;
+        # 9.0 → 14.5 slices/s same-session). Production default is fp32 (exact).
+        vcfg = VolumeInferenceConfig(
+            img_size=224, chunk=32, num_classes=9, transfer_dtype="float16"
+        )
+        inf = VolumeInferencer(lambda x: eval_step(state, x), vcfg)
+        _ = inf.predict_volume(vol)  # compile
+        vt = []
+        for _ in range(3):  # best-of-3 (transfer-heavy: tunnel bandwidth varies ~2x)
+            t0 = time.time()
+            pred = inf.predict_volume(vol)
+            _ = int(pred[0, 0, 0])
+            vt.append(time.time() - t0)
+        RESULT["volume_inference_slices_per_sec"] = round(64 / min(vt), 1)
+        RESULT["volume_inference_spread"] = round((max(vt) - min(vt)) / (sum(vt) / len(vt)), 3)
+    except Exception as e:
+        RESULT.setdefault("warnings", []).append(f"volume phase failed: {type(e).__name__}")
+        traceback.print_exc(file=sys.stderr)
 
     # host augmentation throughput: the Synapse SomeOf pipeline through the real
     # loader thread pool — must sustain well above device img/s or data becomes
     # the bottleneck (reference equivalent: 11 DataLoader workers)
-    from cenet_tpu.data.augment import SynapseAug
-    from cenet_tpu.data.loader import Loader
+    try:
+        from cenet_tpu.data.augment import SynapseAug
+        from cenet_tpu.data.loader import Loader
 
-    aug = SynapseAug()
-    base_img = np.random.default_rng(3).random((224, 224)).astype(np.float32)
-    base_lab = np.random.default_rng(4).integers(0, 9, (224, 224)).astype(np.uint8)
+        aug = SynapseAug()
+        base_img = np.random.default_rng(3).random((224, 224)).astype(np.float32)
+        base_lab = np.random.default_rng(4).integers(0, 9, (224, 224)).astype(np.uint8)
 
-    def get_sample(idx, rng):
-        im, lb = aug(base_img, base_lab, rng)
-        return {"image": im[..., None].astype(np.float32), "label": lb.astype(np.int64)}
+        def get_sample(idx, rng):
+            im, lb = aug(base_img, base_lab, rng)
+            return {"image": im[..., None].astype(np.float32), "label": lb.astype(np.int64)}
 
-    loader = Loader(400, get_sample, batch_size=bs, seed=0, num_threads=8)
-    n_imgs = 0
-    t0 = time.time()
-    for batch_h in loader.epoch(0):
-        n_imgs += batch_h["image"].shape[0]
-        if time.time() - t0 > 3.0:
-            break
-    host_aug_ips = n_imgs / (time.time() - t0)
+        loader = Loader(400, get_sample, batch_size=bs, seed=0, num_threads=8)
+        n_imgs = 0
+        t0 = time.time()
+        for batch_h in loader.epoch(0):
+            n_imgs += batch_h["image"].shape[0]
+            if time.time() - t0 > 3.0:
+                break
+        RESULT["host_aug_images_per_sec"] = round(n_imgs / (time.time() - t0), 1)
+    except Exception as e:
+        RESULT.setdefault("warnings", []).append(f"host-aug phase failed: {type(e).__name__}")
+        traceback.print_exc(file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "synapse_cenet_train_images_per_sec_per_chip",
-                "value": round(train_ips, 1),
-                "unit": "img/s",
-                "vs_baseline": round(train_ips / A100_TORCH_TRAIN_IMG_PER_SEC_ESTIMATE, 2),
-                "train_sustained_images_per_sec": round(sust_ips, 1),
-                "train_sustained_spread": round(sust_spread, 3),
-                "eval_images_per_sec_per_chip": round(eval_ips, 1),
-                "volume_inference_slices_per_sec": round(vol_ips, 1),
-                "host_aug_images_per_sec": round(host_aug_ips, 1),
-                "train_step_ms": round(dt * 1e3, 2),
-                "final_loss": round(final_loss, 4),
-                # learning signal over the sustained phase (the optimizer is
-                # really descending, not just dispatching): loss on the repeated
-                # batch set at the start vs end of the >=60 s run
-                "sustained_loss_first": round(sust_losses[0], 4),
-                "sustained_loss_last": round(sust_losses[-1], 4),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -72,15 +72,17 @@ class Trainer:
     """Owns model, optimizer, and the compiled train/eval step functions."""
 
     def __init__(self, cfg: ExperimentConfig, max_iterations: int, mesh=None, iters_per_epoch: int = 1):
-        if mesh is not None:
-            # Register for the attention routers, and under tensor parallelism
-            # (model axis > 1) tag the attention impl with '@model' so the cores
-            # run head-local inside shard_map instead of being all-gathered by
-            # GSPMD (which cannot partition Pallas custom calls) —
-            # ops/flash_attention.shard_heads, tests/test_tp_attention.py.
-            from cenet_tpu.core.mesh import set_attention_mesh
+        # Register (or clear) the module-global attention mesh: a mesh-less
+        # Trainer constructed after a meshed one must not inherit the stale mesh,
+        # or '@model'-suffixed impls would shard_map over a mesh it doesn't own.
+        from cenet_tpu.core.mesh import set_attention_mesh
 
-            set_attention_mesh(mesh)
+        set_attention_mesh(mesh)
+        if mesh is not None:
+            # Under tensor parallelism (model axis > 1) tag the attention impl
+            # with '@model' so the cores run head-local inside shard_map instead
+            # of being all-gathered by GSPMD (which cannot partition Pallas
+            # custom calls) — ops/flash_attention.shard_heads, tests/test_tp_attention.py.
             if mesh.shape.get("model", 1) > 1 and "@" not in cfg.model.attn_impl:
                 cfg = cfg.replace(
                     model=dataclasses.replace(cfg.model, attn_impl=cfg.model.attn_impl + "@model")
