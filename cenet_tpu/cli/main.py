@@ -563,21 +563,25 @@ def run_eval(cfg, args):
                     "label": np.stack([te_ds.get_eval(j)["label"] for j in idxs]),
                 }
 
+        save_hook = None
         if getattr(args, "save_figs", False):
             # test-mode contour overlays (GT green / pred red), reference
-            # utils_skin.py:155-157; one PNG per test case
+            # utils_skin.py:155-157; one PNG per test case. Routed through
+            # skin_test's save_hook so each batch is forwarded ONCE (a separate
+            # overlay loop would double eval device time on the slow host link).
             from cenet_tpu.evaluate.visualize import skin_overlay
 
             fig_dir = os.path.join(snap, "figures")
-            k = 0
-            for b in batches():
-                preds = np.argmax(np.asarray(trainer.eval_step(state, b["image"])), axis=-1)
-                for j in range(preds.shape[0]):
-                    skin_overlay(np.asarray(b["image"][j]), b["label"][j], preds[j],
-                                 os.path.join(fig_dir, f"te_{k}.png"))
-                    k += 1
-            log.info("saved %d overlays to %s", k, fig_dir)
-        dice, acc, iou = skin_test(lambda x: trainer.eval_step(state, x), batches())
+            counter = [0]
+
+            def save_hook(batch, pred):
+                for j in range(pred.shape[0]):
+                    skin_overlay(np.asarray(batch["image"][j]), np.asarray(batch["label"][j]),
+                                 pred[j], os.path.join(fig_dir, f"te_{counter[0]}.png"))
+                    counter[0] += 1
+
+            log.info("saving overlays to %s", fig_dir)
+        dice, acc, iou = skin_test(lambda x: trainer.eval_step(state, x), batches(), save_hook=save_hook)
         log.info("test dice %.4f acc %.4f iou %.4f", dice, acc, iou)
         print(json.dumps({"dice": dice, "acc": acc, "iou": iou}))
 

@@ -31,27 +31,45 @@ def setup_logging(snapshot_path: str, name: str = "train", also_stdout: bool = T
 
 
 class ScalarWriter:
-    """TensorBoard scalar writer (tensorboardX) with a no-op fallback."""
+    """TensorBoard scalar writer (tensorboardX) with a loud TSV fallback.
+
+    When tensorboardX is unavailable the failure is logged as a WARNING (a
+    production run must never silently log nothing) and scalars are appended
+    to ``<logdir>/scalars.tsv`` (``tag\\tstep\\tvalue`` per line) so they always
+    land somewhere greppable/plottable."""
 
     def __init__(self, logdir: str):
+        self._tsv = None
         try:
             from tensorboardX import SummaryWriter
 
             self._w = SummaryWriter(logdir)
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — import/init failures alike
             self._w = None
+            logging.getLogger(__name__).warning(
+                "tensorboardX unavailable (%s: %s) — falling back to TSV scalars at %s/scalars.tsv",
+                type(e).__name__, e, logdir,
+            )
+            os.makedirs(logdir, exist_ok=True)
+            self._tsv = open(os.path.join(logdir, "scalars.tsv"), "a", buffering=1)
 
     def scalar(self, tag: str, value: float, step: int):
         if self._w is not None:
             self._w.add_scalar(tag, value, step)
+        elif self._tsv is not None:
+            self._tsv.write(f"{tag}\t{step}\t{float(value)}\n")
 
     def image(self, tag: str, img, step: int):
         if self._w is not None:
             self._w.add_image(tag, img, step)
+        # no TSV equivalent for images; scalars are the must-not-drop signal
 
     def close(self):
         if self._w is not None:
             self._w.close()
+        if self._tsv is not None:
+            self._tsv.close()
+            self._tsv = None
 
 
 class Throughput:

@@ -29,10 +29,12 @@ class VolumeInferenceConfig:
     normalize: bool = True  # Synapse: Normalize(0.5, 0.5); ACDC: none
     num_classes: int = 9
     # Host→device dtype for the raw volume. The upload dominates wall time on a
-    # slow host link (67 MB fp32 for a 64×512² CT — PERF_NOTES); float16 halves
-    # it with ≤1e-3 relative quantization of the input intensities. Use
-    # "float32" for bit-exact parity runs.
-    transfer_dtype: str = "float16"
+    # slow host link (67 MB fp32 for a 64×512² CT — PERF_NOTES); "float16"
+    # halves it with ≤1e-3 relative quantization of the input intensities
+    # (values are range-clipped to the fp16 max to avoid inf). Default is
+    # float32 — exact, matching the reference's fp32 eval — opt into fp16
+    # where the link is profiled as the bottleneck (bench.py does).
+    transfer_dtype: str = "float32"
     scan_chunks: int = 4  # chunks per dispatch when a predict_many_fn is given
 
 
@@ -59,9 +61,88 @@ class VolumeInferencer:
         self.predict_fn = predict_fn
         self.predict_many_fn = predict_many_fn
         self.cfg = cfg
+        self._chunk_fns = {}  # (h, w) -> jitted raw-chunk → uint8-label fn
+
+    def _chunk_fn(self, h: int, w: int) -> Callable:
+        """Jitted (chunk, H, W) raw slices → (chunk, s, s) uint8 labels.
+
+        Zoom/normalize/forward/argmax in ONE dispatch per chunk so the
+        double-buffered upload of the next chunk overlaps the full compute of
+        this one (the zoom is per-slice, so per-chunk zoom ≡ per-volume zoom).
+        """
+        key = (h, w)
+        if key not in self._chunk_fns:
+            s = self.cfg.img_size
+            normalize = self.cfg.normalize
+
+            @jax.jit
+            def fn(raw):  # (c, H, W) transfer-dtype
+                x = raw[..., None].astype(jnp.float32)
+                if (h, w) != (s, s):
+                    x = F.zoom_resize(x, (s, s), order=3)
+                if normalize:
+                    x = (x - 0.5) / 0.5
+                return jnp.argmax(self.predict_fn(x), axis=-1).astype(jnp.uint8)
+
+            self._chunk_fns[key] = fn
+        return self._chunk_fns[key]
+
+    def _host_chunks(self, image: np.ndarray) -> List[np.ndarray]:
+        """Pad to a whole number of chunks and split on host, in transfer dtype."""
+        d, h, w = image.shape
+        c = self.cfg.chunk
+        tdt = np.dtype(self.cfg.transfer_dtype)
+        if tdt == np.float16:
+            # fp16 upload is a bandwidth optimization, never a correctness trap:
+            # clip to the fp16 range so out-of-range intensities (non-CT
+            # modalities, unpreprocessed data) degrade gracefully instead of
+            # becoming inf (ADVICE r3).
+            fmax = float(np.finfo(np.float16).max)
+            vol = np.clip(image, -fmax, fmax).astype(tdt)
+        else:
+            vol = np.asarray(image, tdt)
+        pad = (-d) % c
+        if pad:
+            vol = np.concatenate([vol, np.zeros((pad, h, w), tdt)], axis=0)
+        return [vol[i : i + c] for i in range(0, d + pad, c)]
 
     def predict_volume(self, image: np.ndarray) -> np.ndarray:
         """image (D, H, W) float → label volume (D, H, W) uint8."""
+        d, h, w = image.shape
+        s = self.cfg.img_size
+
+        if self.predict_many_fn is not None:
+            pred = self._predict_volume_scan(image)
+        else:
+            # Double-buffered per-chunk pipeline (round 4): upload chunk k+1
+            # (async device_put) while chunk k's zoom+forward runs, and dispatch
+            # every chunk before pulling any result — upload, compute, and
+            # download all overlap. The reference ping-pongs one slice at a time
+            # (utils_synapse.py:50-81).
+            chunks = self._host_chunks(image)
+            fn = self._chunk_fn(h, w)
+            dev = jax.device_put(chunks[0])
+            outs = []
+            for k in range(len(chunks)):
+                cur = dev
+                if k + 1 < len(chunks):
+                    dev = jax.device_put(chunks[k + 1])  # overlaps fn(cur)
+                outs.append(fn(cur))
+            pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:d]
+
+        if (h, w) != (s, s):
+            # Nearest back-zoom on HOST: only s² uint8 per slice crosses the link
+            # (≈5× less transfer at 512² CT); pure indexing reproduces
+            # F.zoom_nearest / scipy order-0 exactly (same index map).
+            idx_h, valid_h = F._zoom_nearest_indices(s, h)
+            idx_w, valid_w = F._zoom_nearest_indices(s, w)
+            pred = pred[:, idx_h][:, :, idx_w]
+            valid = np.logical_and.outer(valid_h, valid_w)
+            pred = np.where(valid[None], pred, np.uint8(0))
+        return pred
+
+    def _predict_volume_scan(self, image: np.ndarray) -> np.ndarray:
+        """Scan-dispatch path (predict_many_fn): whole-volume upload + grouped scan."""
         d, h, w = image.shape
         s = self.cfg.img_size
         tdt = np.dtype(self.cfg.transfer_dtype)
@@ -75,43 +156,21 @@ class VolumeInferencer:
         pad = (-d) % c
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, s, s, 1), x.dtype)], axis=0)
-        if self.predict_many_fn is not None:
-            # scan dispatch: full groups of scan_chunks chunks per jit call; the
-            # remainder goes as ONE smaller group (lax.scan length comes from the
-            # input shape, so each distinct group size compiles once — bounded by
-            # scan_chunks shapes) — never padded groups, which would waste up to
-            # (scan_chunks−1)·chunk slices of compute per volume.
-            kg = self.cfg.scan_chunks
-            nchunk = (d + pad) // c
-            xs = x.reshape(nchunk, c, s, s, 1)
-            outs = []
-            i = 0
-            while i < nchunk:
-                g = min(kg, nchunk - i)
-                outs.append(self.predict_many_fn(xs[i : i + g]))
-                i += g
-            pred = np.concatenate([np.asarray(o).reshape(-1, s, s) for o in outs], axis=0)[:d]
-        else:
-            # Dispatch every chunk before pulling any result: XLA dispatch is
-            # async, so the device→host transfer of chunk i overlaps the compute
-            # of chunk i+1 (the reference ping-pongs one slice at a time,
-            # utils_synapse.py:50-81).
-            outs = [
-                jnp.argmax(self.predict_fn(x[i : i + c]), axis=-1).astype(jnp.uint8)
-                for i in range(0, d + pad, c)
-            ]
-            pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:d]  # (D, s, s)
-
-        if (h, w) != (s, s):
-            # Nearest back-zoom on HOST: only s² uint8 per slice crosses the link
-            # (≈5× less transfer at 512² CT); pure indexing reproduces
-            # F.zoom_nearest / scipy order-0 exactly (same index map).
-            idx_h, valid_h = F._zoom_nearest_indices(s, h)
-            idx_w, valid_w = F._zoom_nearest_indices(s, w)
-            pred = pred[:, idx_h][:, :, idx_w]
-            valid = np.logical_and.outer(valid_h, valid_w)
-            pred = np.where(valid[None], pred, np.uint8(0))
-        return pred
+        # scan dispatch: full groups of scan_chunks chunks per jit call; the
+        # remainder goes as ONE smaller group (lax.scan length comes from the
+        # input shape, so each distinct group size compiles once — bounded by
+        # scan_chunks shapes) — never padded groups, which would waste up to
+        # (scan_chunks−1)·chunk slices of compute per volume.
+        kg = self.cfg.scan_chunks
+        nchunk = (d + pad) // c
+        xs = x.reshape(nchunk, c, s, s, 1)
+        outs = []
+        i = 0
+        while i < nchunk:
+            g = min(kg, nchunk - i)
+            outs.append(self.predict_many_fn(xs[i : i + g]))
+            i += g
+        return np.concatenate([np.asarray(o).reshape(-1, s, s) for o in outs], axis=0)[:d]
 
     def evaluate_case(
         self,

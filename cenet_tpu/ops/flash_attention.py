@@ -58,6 +58,9 @@ def _pallas_routable() -> bool:
     return jax.default_backend() not in ("cpu", "gpu") or _pa._INTERPRET
 
 
+_WARNED_BATCH_REPLICATION = set()
+
+
 def _head_shard_specs(mesh, axis: str, nheads: int, batch: int):
     """shard_map specs for (B, H, ...) attention operands, or None if the head
     count doesn't divide over the axis. Batch rides 'data' when divisible."""
@@ -65,8 +68,24 @@ def _head_shard_specs(mesh, axis: str, nheads: int, batch: int):
     if m <= 1 or nheads % m:
         return None
     db = None
-    if axis != "data" and mesh.shape.get("data", 1) > 1 and batch % mesh.shape["data"] == 0:
-        db = "data"
+    if axis != "data" and mesh.shape.get("data", 1) > 1:
+        if batch % mesh.shape["data"] == 0:
+            db = "data"
+        elif batch not in _WARNED_BATCH_REPLICATION:
+            # P(None, axis) is semantically correct but forces GSPMD to
+            # all-gather activations over 'data' on every attention call — a
+            # silent performance cliff for non-divisible batches (e.g.
+            # remainder eval chunks). Make it visible, once per batch size.
+            _WARNED_BATCH_REPLICATION.add(batch)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "TP attention: batch %d does not divide the data axis (%d); "
+                "activations will be replicated over 'data' for these calls "
+                "(all-gather per attention). Pad the batch to a multiple of "
+                "the data axis to avoid this.",
+                batch, mesh.shape["data"],
+            )
     return P(db, axis)
 
 
