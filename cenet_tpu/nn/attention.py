@@ -58,6 +58,13 @@ def get_attention_core(impl: str = "xla") -> Callable:
         from cenet_tpu.ops.flash_attention import flash_attention_core
 
         return shard_heads(flash_attention_core, axis)
+    if impl == "ring":
+        # sequence/context parallelism: tokens sharded over a 'seq' mesh axis,
+        # k/v rotated via ppermute (ops/ring_attention.py; the >224² hook of
+        # SURVEY §2.7). '@axis' names the mesh axis (default 'seq').
+        from cenet_tpu.ops.ring_attention import make_ring_core
+
+        return make_ring_core(axis or "seq")
     raise ValueError(f"unknown attention impl: {impl}")
 
 
@@ -102,8 +109,26 @@ class SRAAttention(nn.Module):
         kv = kv.reshape(B, M, 2, h, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
 
-        core = get_attention_core(self.attn_impl)
-        out = core(q * jnp.asarray(scale, q.dtype), k, v)
+        if self.attn_drop > 0.0 and not deterministic:
+            # Post-softmax dropout on the attention weights (reference
+            # pvtv2.py:88-90: Dropout(attn_drop) between softmax and @v).
+            # Only the naive core materializes the weight matrix; the fused
+            # chunked/pallas cores cannot apply it — and every reference
+            # config (b0–b5) uses attn_drop=0.0, so this is an opt-in
+            # train-mode capability, not a default path.
+            if self.attn_impl.split("@", 1)[0] != "xla":
+                raise NotImplementedError(
+                    f"attn_drop={self.attn_drop} > 0 requires attn_impl='xla' "
+                    "(the chunked/pallas cores never materialize attention "
+                    "weights); all reference configs use attn_drop=0.0"
+                )
+            logits = jnp.einsum("bhnd,bhmd->bhnm", q * jnp.asarray(scale, q.dtype), k)
+            weights = F.softmax_fp32(logits, axis=-1)
+            weights = Dropout(self.attn_drop)(weights, deterministic)
+            out = jnp.einsum("bhnm,bhmd->bhnd", weights, v)
+        else:
+            core = get_attention_core(self.attn_impl)
+            out = core(q * jnp.asarray(scale, q.dtype), k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = Dense(C, C, use_bias=True, weight_init=trunc_normal_init(0.02), bias_init=nn.initializers.zeros, name="proj")(out)
         out = Dropout(self.proj_drop)(out, deterministic)

@@ -357,3 +357,44 @@ def test_diffattn_cross_v2_matches_actual_reference(rng):
     # reference raw-views (B, N, E) back to (B, E, W, H); same buffer as our
     # untokenize for square maps
     np.testing.assert_allclose(ours, to_nhwc(ref.reshape(2, e, hw, hw)), atol=2e-4, rtol=1e-3)
+
+
+def test_sra_attn_drop_applied_in_train_mode(rng):
+    """attn_drop must actually be applied post-softmax (reference pvtv2.py:88-90):
+    deterministic mode is a no-op; train mode perturbs the output with the right
+    expectation (inverted dropout: E[out] == no-drop out)."""
+    dim, heads, H, W = 8, 2, 4, 4
+    x = jnp.asarray(rng.standard_normal((1, H * W, dim)).astype(np.float32))
+    mod0 = SRAAttention(dim, num_heads=heads, qkv_bias=True, sr_ratio=1, attn_drop=0.0)
+    variables = mod0.init(jax.random.PRNGKey(0), x, H, W)
+    base = np.asarray(mod0.apply(variables, x, H, W))
+
+    mod = SRAAttention(dim, num_heads=heads, qkv_bias=True, sr_ratio=1, attn_drop=0.5)
+    # deterministic: bit-identical to attn_drop=0 (torch eval() semantics)
+    det = np.asarray(mod.apply(variables, x, H, W, deterministic=True))
+    np.testing.assert_array_equal(det, base)
+    # train mode: differs per-draw, matches in expectation (proj is linear in the
+    # attention output, so the bias cancels in the average)
+    outs = np.stack([
+        np.asarray(mod.apply(variables, x, H, W, deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(i)}))
+        for i in range(400)
+    ])
+    assert np.abs(outs[0] - base).max() > 1e-4
+    np.testing.assert_allclose(outs.mean(0), base, atol=0.12)
+
+
+def test_sra_attn_drop_fused_cores_raise(rng):
+    """The fused cores never materialize attention weights; attn_drop>0 in train
+    mode must raise loudly instead of silently not applying it (VERDICT r3)."""
+    import pytest
+
+    dim, heads, H, W = 8, 2, 4, 4
+    x = jnp.asarray(rng.standard_normal((1, H * W, dim)).astype(np.float32))
+    mod = SRAAttention(dim, num_heads=heads, qkv_bias=True, sr_ratio=1,
+                       attn_drop=0.5, attn_impl="pallas")
+    variables = SRAAttention(dim, num_heads=heads, qkv_bias=True, sr_ratio=1).init(
+        jax.random.PRNGKey(0), x, H, W)
+    with pytest.raises(NotImplementedError, match="attn_drop"):
+        mod.apply(variables, x, H, W, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(0)})

@@ -103,3 +103,86 @@ def test_cli_resume_continues_from_checkpoint(micro_synapse, tmp_path):
     snap = snapshot_path(cfg1)
     log = open(os.path.join(snap, "log_train.txt")).read()
     assert "resumed from step" in log, log[-2000:]
+
+
+@pytest.fixture
+def learnable_synapse(tmp_path):
+    """Synthetic but LEARNABLE micro-Synapse: class 1 is a bright square on a dim
+    noisy background, square position varies per slice — intensity→class is the
+    generalizable rule."""
+    root = tmp_path / "synapse"
+    lists = tmp_path / "lists"
+    os.makedirs(root)
+    os.makedirs(lists)
+    rng = np.random.default_rng(0)
+
+    def make_slice(r):
+        img = (r.random((96, 96)) * 0.3).astype(np.float32)
+        lab = np.zeros((96, 96), np.float32)
+        y, x = r.integers(8, 48, 2)
+        img[y : y + 32, x : x + 32] += 0.7
+        lab[y : y + 32, x : x + 32] = 1.0
+        return img, lab
+
+    names = []
+    for i in range(24):
+        name = f"case0001_slice{i:03d}"
+        img, lab = make_slice(rng)
+        np.savez(root / f"{name}.npz", image=img, label=lab)
+        names.append(name)
+    (lists / "train.txt").write_text("\n".join(names) + "\n")
+    vol_img, vol_lab = zip(*[make_slice(rng) for _ in range(3)])
+    with h5py.File(root / "case0008.npy.h5", "w") as f:
+        f["image"] = np.stack(vol_img)
+        f["label"] = np.stack(vol_lab)
+    (lists / "test_vol.txt").write_text("case0008\n")
+    return str(root), str(lists)
+
+
+def test_synapse_protocol_metric_trend(learnable_synapse, tmp_path):
+    """Full Synapse protocol through the CLI on synthetic volumes (VERDICT r3 #7):
+    train with eval-interval snapshots and assert dice RISES / hd95 FALLS across
+    the snapshot cascade — end-to-end learning evidence through the
+    epoch→snapshot→volume-eval→curves chain (reference main_synapse.py:297-325)."""
+    from cenet_tpu.cli.main import build_argparser, make_config, run_train, snapshot_path
+
+    root, lists = learnable_synapse
+    out = str(tmp_path / "out")
+    args = build_argparser().parse_args([
+        "train", "--preset", "synapse", "--root_path", root, "--list_dir", lists,
+        "--output_dir", out, "--max_epochs", "4", "--batch_size", "4", "--no-amp",
+    ])
+    cfg = make_config(args)
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=2, scale_factors=(0.8, 0.4),
+            diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+        ),
+        train=cfg.train.__class__(
+            max_epochs=4, batch_size=4, base_lr=0.01, optimizer="sgd",
+            scheduler="poly", loss_type="dice,ce", loss_weights="0.5,0.5",
+            amp=False, eval_interval=1,
+        ),
+        data=cfg.data.__class__(dataset="synapse", root_path=root, list_dir=lists, img_size=64),
+    )
+    run_train(cfg, args)
+    snap = snapshot_path(cfg)
+
+    # snapshots run from max_epochs//2 with eval_interval=1 → epochs 2, 3, 4;
+    # the curves tsv records one (dice, hd95) row per snapshot
+    tsv = os.path.join(snap, "result.tsv")
+    assert os.path.exists(tsv), os.listdir(snap)
+    rows = [line.split("\t") for line in open(tsv).read().strip().splitlines()[1:]]
+    dices = [float(r[1]) for r in rows]
+    hds = [float(r[2]) for r in rows]
+    assert len(dices) >= 3, rows
+    # learning trend: strictly better end-to-start unless already saturated
+    assert dices[-1] >= dices[0] and (dices[-1] > dices[0] or dices[0] > 0.9), (dices, hds)
+    assert hds[-1] <= hds[0] and (hds[-1] < hds[0] or hds[-1] < 3.0), (dices, hds)
+    # the final model really learned the task, not just "didn't get worse"
+    assert dices[-1] > 0.5, (dices, hds)
+    # snapshot checkpoints were written for each eval epoch (epoch2..4 tags)
+    from cenet_tpu.core.checkpoint import CheckpointManager
+
+    tags = CheckpointManager(snap).available_tags()
+    assert any(t.startswith("epoch") for t in tags), tags

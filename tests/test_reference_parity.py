@@ -429,3 +429,115 @@ def test_cenet_org_train_step_parity():
         assert diff <= 1e-4, f"BN running-stat mismatch at {'/'.join(path)}: {diff:.3e}"
         n_bn += 1
     assert n_bn > 0
+
+
+def test_cenet_multistep_trajectory_parity():
+    """TEN lockstep optimizer steps vs the actual torch reference (VERDICT r3 #3):
+    SGD momentum 0.9 + weight decay + per-iteration poly schedule + evolving BN
+    running stats, distinct batches per step, fp32, droppath 0. Catches schedule/
+    momentum/stat-decay drift that the single-step gates cannot. Reference
+    semantics: optimizer/scheduler ``utils/core.py:12-41``; per-iteration
+    ``scheduler.step()`` ``main_synapse.py:275-276``. Bar: params max-abs-diff
+    ≤ 1e-4 after 10 steps."""
+    torch = _torch()
+    networks = load_reference()
+    ref = networks.CENet(
+        input_channels=1, num_classes=4, scale_factors=[0.8, 0.4],
+        diffatt_num_heads=[4, 4, 4], encoder="pvt_v2_b0", skip_mode="cat",
+        dec_up_block="eucb", out_merge_mode="cat", out_up_block="upcn", out_up_ks=3,
+    )
+    ref.backbone.reset_drop_path(0.0)
+    ref.train()
+
+    from cenet_tpu.models.cenet import CENet
+
+    model = CENet(
+        input_channels=1, num_classes=4, scale_factors=(0.8, 0.4),
+        diffatt_num_heads=(4, 4, 4), encoder="pvt_v2_b0", skip_mode="cat",
+        dec_up_block="eucb", out_merge_mode="cat", out_up_block="upcn", out_up_ks=3,
+        attn_impl="xla", drop_path_rate=0.0,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    N, LR, WD = 10, 0.015, 1e-4
+    batches = [
+        (rng.standard_normal((2, 1, 224, 224)).astype(np.float32),
+         rng.integers(0, 4, (2, 224, 224)))
+        for _ in range(N)
+    ]
+    variables = model.init(KEY, jnp.asarray(batches[0][0].transpose(0, 2, 3, 1)), train=False)
+    variables = _convert(ref, variables, "cenet")
+
+    # ---- torch trajectory: exactly the reference loop (main_synapse.py:256-276)
+    opt = torch.optim.SGD(ref.parameters(), lr=LR, weight_decay=WD, momentum=0.9)
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lambda step: (1 - step / N) ** 0.9)
+    losses_t = []
+    for x, lb in batches:
+        opt.zero_grad()
+        loss_t = torch.nn.functional.cross_entropy(ref(torch.from_numpy(x)), torch.from_numpy(lb).long())
+        loss_t.backward()
+        opt.step()
+        sched.step()
+        losses_t.append(float(loss_t))
+
+    # ---- JAX trajectory through the real Trainer (same optimizer/schedule cfg)
+    from cenet_tpu.core.config import get_preset
+    from cenet_tpu.train.trainer import Trainer, TrainState
+
+    cfg = get_preset("synapse")
+    cfg = cfg.replace(
+        model=cfg.model.__class__(
+            input_channels=1, num_classes=4, scale_factors=(0.8, 0.4),
+            diffatt_num_heads=(4, 4, 4), encoder="pvt_v2_b0", skip_mode="cat",
+            dec_up_block="eucb", out_merge_mode="cat", out_up_block="upcn",
+            drop_path_rate=0.0, attn_impl="xla",
+        ),
+        train=cfg.train.__class__(
+            max_epochs=1, batch_size=2, base_lr=LR, optimizer="sgd",
+            scheduler="poly", loss_type="ce", loss_weights="1.0", amp=False,
+            weight_decay=WD,
+        ),
+    )
+    tr = Trainer(cfg, max_iterations=N)
+    state = TrainState(
+        variables["params"], variables["batch_stats"],
+        tr.tx.init(variables["params"]), jnp.zeros((), jnp.int32),
+    )
+    losses_j = []
+    for i, (x, lb) in enumerate(batches):
+        state, loss_j = tr.train_step(
+            state, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(lb), jax.random.PRNGKey(i)
+        )
+        losses_j.append(float(loss_j))
+
+    for i, (lt, lj) in enumerate(zip(losses_t, losses_j)):
+        assert abs(lt - lj) <= 1e-4 * max(1.0, abs(lt)), (
+            f"loss diverged at step {i}: torch {lt:.6f} vs jax {lj:.6f}"
+        )
+
+    # ---- final params: convert the post-trajectory torch state dict and compare
+    from cenet_tpu.convert.torch2jax import convert_state_dict
+
+    post_sd = _sd_numpy(ref)
+    tmpl = {
+        "params": jax.tree.map(lambda a: np.zeros(np.shape(a), np.float32), variables["params"]),
+        "batch_stats": jax.tree.map(lambda a: np.zeros(np.shape(a), np.float32), variables["batch_stats"]),
+    }
+    want, _ = convert_state_dict(post_sd, tmpl, "cenet", strict=False)
+    got_p = {tuple(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+             for kp, v in jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    worst = ("", 0.0)
+    for kp, w in jax.tree_util.tree_flatten_with_path(want["params"])[0]:
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        diff = float(np.max(np.abs(got_p[path] - np.asarray(w))))
+        if diff > worst[1]:
+            worst = ("/".join(path), diff)
+        assert diff <= 1e-4, f"param drift after {N} steps at {'/'.join(path)}: {diff:.3e}"
+    # BN running stats after the full trajectory
+    got_bs = {tuple(str(getattr(k, "key", k)) for k in kp): np.asarray(v)
+              for kp, v in jax.tree_util.tree_flatten_with_path(state.batch_stats)[0]}
+    for kp, w in jax.tree_util.tree_flatten_with_path(want["batch_stats"])[0]:
+        path = tuple(str(getattr(k, "key", k)) for k in kp)
+        diff = float(np.max(np.abs(got_bs[path] - np.asarray(w))))
+        assert diff <= 1e-4, f"BN stat drift after {N} steps at {'/'.join(path)}: {diff:.3e}"
