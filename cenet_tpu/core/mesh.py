@@ -28,14 +28,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1  # -1: all remaining devices
     model: int = 1
+    # Sequence/context-parallel axis for >224² inputs (SURVEY §2.7 row SP/CP):
+    # attention token dims shard over 'seq' and k/v rotate via ring ppermute
+    # (ops/ring_attention.py). 1 (default) omits the axis entirely so existing
+    # 2-axis meshes/specs are unchanged.
+    seq: int = 1
 
 
 def make_mesh(cfg: MeshConfig = MeshConfig(), devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     model = max(cfg.model, 1)
-    data = cfg.data if cfg.data > 0 else n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    seq = max(cfg.seq, 1)
+    data = cfg.data if cfg.data > 0 else n // (model * seq)
+    assert data * model * seq == n, f"mesh {data}x{seq}x{model} != {n} devices"
+    if seq > 1:
+        arr = np.asarray(devices).reshape(data, seq, model)
+        return Mesh(arr, axis_names=("data", "seq", "model"))
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
