@@ -296,23 +296,44 @@ def space_to_depth2(x: "jnp.ndarray") -> "jnp.ndarray":
     return xp.reshape(b, h // 2, w // 2, 4 * c)
 
 
+@jax.custom_vjp
+def _phase_max4(x5: "jnp.ndarray") -> "jnp.ndarray":
+    """Max over axis 3 (the 4-phase axis) with argmax-pinned backward routing.
+
+    The stock reduce-max VJP masks on ``x == max`` where jit may rematerialize
+    ``x`` with different fusion/reassociation than the forward — near-ties then
+    route gradients to a different phase (measured: %-level conv-wgrad
+    deviations under jit when a train-mode BN feeds the pool). Pinning the
+    backward to a forward-computed integer argmax fixes that, and first-max tie
+    semantics match torch's MaxPool2d (window raster order == phase order).
+
+    Implemented as a ``custom_vjp`` rather than ``take_along_axis(argmax)``:
+    the gather that take_along_axis lowers to ran at ~52 ms/step on the real
+    chip (the round-3 d794de3 regression, caught by the round-4 profile — 61%%
+    of the train step). Here the forward is a plain reduce-max and the backward
+    is an elementwise one-hot multiply; no gather/scatter anywhere."""
+    return jnp.max(x5, axis=3)
+
+
+def _phase_max4_fwd(x5):
+    # uint8 residual: values 0..3; 4x smaller than int32 over (B,H/2,W/2,C)
+    return jnp.max(x5, axis=3), jnp.argmax(x5, axis=3).astype(jnp.uint8)
+
+
+def _phase_max4_bwd(idx, g):
+    sel = idx[:, :, :, None, :] == jnp.arange(4, dtype=jnp.uint8)[:, None]
+    return (jnp.where(sel, g[:, :, :, None, :], jnp.zeros((), g.dtype)),)
+
+
+_phase_max4.defvjp(_phase_max4_fwd, _phase_max4_bwd)
+
+
 def depth_phase_max(x: "jnp.ndarray") -> "jnp.ndarray":
     """Max over the 4 spatial phases of an S2D tensor — exactly MaxPool 2×2/2 of
     the unpacked map: the pool window (2h..2h+1, 2w..2w+1) IS the four phases
-    of packed pixel (h, w).
-
-    Implemented via an integer argmax + take_along_axis rather than
-    ``jnp.max``: the reduce-max VJP masks on ``x == max`` where jit may
-    rematerialize ``x`` with different fusion/reassociation than the forward —
-    near-ties then route gradients to a different phase (measured: %-level
-    conv-wgrad deviations under jit when a train-mode BN feeds the pool). The
-    argmax pins the backward routing to the forward's winner, and its
-    first-max tie semantics match torch's MaxPool2d (window raster order ==
-    phase order)."""
+    of packed pixel (h, w). Backward routing is argmax-pinned (``_phase_max4``)."""
     b, h2, w2, c4 = x.shape
-    x5 = x.reshape(b, h2, w2, 4, c4 // 4)
-    idx = jnp.argmax(x5, axis=3)
-    return jnp.take_along_axis(x5, idx[:, :, :, None, :], axis=3)[:, :, :, 0, :]
+    return _phase_max4(x.reshape(b, h2, w2, 4, c4 // 4))
 
 
 @functools.lru_cache(maxsize=None)
