@@ -286,10 +286,13 @@ def main():
         float(probs[0, 0, 0, 0])
 
         vol = np.random.default_rng(2).standard_normal((64, 512, 512)).astype(np.float32)
-        # bench opts into fp16 upload (halves the dominant 67 MB tunnel transfer;
-        # 9.0 → 14.5 slices/s same-session). Production default is fp32 (exact).
+        # bench opts into the uint8 scale/offset upload (quarter of fp32's 67 MB
+        # dominant tunnel transfer; fp16 measured 9.0 → 14.5 slices/s same-session,
+        # round 4 still spread-bound at 33 MB). uint8 quantizes to ~0.4% of the
+        # volume range — a link-starved bench option; uint16 is EXACT for raw
+        # integer-HU CT and the production default stays fp32 (evaluate/volume.py).
         vcfg = VolumeInferenceConfig(
-            img_size=224, chunk=32, num_classes=9, transfer_dtype="float16"
+            img_size=224, chunk=32, num_classes=9, transfer_dtype="uint8"
         )
         inf = VolumeInferencer(lambda x: eval_step(state, x), vcfg)
         _ = inf.predict_volume(vol)  # compile

@@ -39,11 +39,16 @@ def build_argparser():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--amp", action="store_true", default=None)
     p.add_argument("--no-amp", dest="amp", action="store_false")
-    p.add_argument("--attn_impl", default=None, choices=[None, "xla", "chunked", "pallas"])
+    p.add_argument("--attn_impl", default=None, choices=[None, "xla", "chunked", "pallas", "ring"],
+                   help="'ring' = sequence/context-parallel attention over the mesh 'seq' "
+                        "axis (--mesh data,model,seq) for >224² inputs; falls back to "
+                        "chunked/naive where the seq axis doesn't apply")
     p.add_argument("--eval_interval", type=int, default=None)
     p.add_argument("--throughput", action="store_true")
     p.add_argument("--resume", action="store_true", help="resume from the latest snapshot in the output dir")
-    p.add_argument("--mesh", default=None, help="data[,model] device mesh, e.g. '8' or '4,2'; default: single device")
+    p.add_argument("--mesh", default=None,
+                   help="data[,model[,seq]] device mesh, e.g. '8', '4,2', or '1,1,8' "
+                        "(seq>1 enables the ring-attention axis); default: single device")
     # eval-protocol surface (reference scripts/synapse.sh TEST uses scale_factors
     # 1.0,0.75,0.5 vs TRAIN's 0.8,0.4 — FEA depends on these, synapse.sh:74,103)
     p.add_argument("--scale_factors", default=None, help="comma floats, e.g. '1.0,0.75,0.5'")
@@ -145,7 +150,11 @@ def _make_mesh(args, log):
     if not getattr(args, "mesh", None):
         return None
     parts = [int(x) for x in args.mesh.split(",")]
-    mesh = make_mesh(MeshConfig(data=parts[0], model=parts[1] if len(parts) > 1 else 1))
+    mesh = make_mesh(MeshConfig(
+        data=parts[0],
+        model=parts[1] if len(parts) > 1 else 1,
+        seq=parts[2] if len(parts) > 2 else 1,
+    ))
     log.info("mesh: %s", mesh)
     return mesh
 

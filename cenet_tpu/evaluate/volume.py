@@ -29,11 +29,17 @@ class VolumeInferenceConfig:
     normalize: bool = True  # Synapse: Normalize(0.5, 0.5); ACDC: none
     num_classes: int = 9
     # Host→device dtype for the raw volume. The upload dominates wall time on a
-    # slow host link (67 MB fp32 for a 64×512² CT — PERF_NOTES); "float16"
-    # halves it with ≤1e-3 relative quantization of the input intensities
-    # (values are range-clipped to the fp16 max to avoid inf). Default is
-    # float32 — exact, matching the reference's fp32 eval — opt into fp16
-    # where the link is profiled as the bottleneck (bench.py does).
+    # slow host link (67 MB fp32 for a 64×512² CT — PERF_NOTES). Modes:
+    #   "float32" — exact, matching the reference's fp32 eval (default);
+    #   "float16" — half the bytes, ≤1e-3 relative quantization (range-clipped
+    #               to the fp16 max so out-of-range inputs degrade gracefully);
+    #   "uint16"  — half the bytes via per-volume scale/offset quantization.
+    #               EXACT for integer-valued volumes spanning ≤65535 (raw
+    #               HU-style CT); otherwise ~1.5e-5 of the range — 64× finer
+    #               than fp16's worst-case mantissa step at the range top;
+    #   "uint8"   — quarter the bytes, ~0.4% of the range (a bench/link-starved
+    #               option; post-normalize Synapse inputs tolerate it).
+    # The scale/offset decode runs on device inside the chunk dispatch.
     transfer_dtype: str = "float32"
     scan_chunks: int = 4  # chunks per dispatch when a predict_many_fn is given
 
@@ -76,8 +82,8 @@ class VolumeInferencer:
             normalize = self.cfg.normalize
 
             @jax.jit
-            def fn(raw):  # (c, H, W) transfer-dtype
-                x = raw[..., None].astype(jnp.float32)
+            def fn(raw, scale, offset):  # (c, H, W) transfer-dtype + decode affine
+                x = raw[..., None].astype(jnp.float32) * scale + offset
                 if (h, w) != (s, s):
                     x = F.zoom_resize(x, (s, s), order=3)
                 if normalize:
@@ -87,10 +93,13 @@ class VolumeInferencer:
             self._chunk_fns[key] = fn
         return self._chunk_fns[key]
 
-    def _host_chunks(self, image: np.ndarray) -> List[np.ndarray]:
-        """Pad to a whole number of chunks and split on host, in transfer dtype."""
-        d, h, w = image.shape
-        c = self.cfg.chunk
+    def _encode(self, image: np.ndarray) -> Tuple[np.ndarray, float, float]:
+        """Volume → (transfer array, scale, offset); device decode is x*scale+offset.
+
+        uint16/uint8 use per-volume affine quantization — EXACT whenever the
+        volume is integer-valued with range ≤ qmax (raw HU-style CT), since then
+        scale snaps to 1 and the codes are the intensities themselves.
+        """
         tdt = np.dtype(self.cfg.transfer_dtype)
         if tdt == np.float16:
             # fp16 upload is a bandwidth optimization, never a correctness trap:
@@ -98,55 +107,85 @@ class VolumeInferencer:
             # modalities, unpreprocessed data) degrade gracefully instead of
             # becoming inf (ADVICE r3).
             fmax = float(np.finfo(np.float16).max)
-            vol = np.clip(image, -fmax, fmax).astype(tdt)
-        else:
-            vol = np.asarray(image, tdt)
+            return np.clip(image, -fmax, fmax).astype(tdt), 1.0, 0.0
+        if tdt in (np.dtype(np.uint16), np.dtype(np.uint8)):
+            qmax = float(np.iinfo(tdt).max)
+            lo = float(image.min()) if image.size else 0.0
+            hi = float(image.max()) if image.size else 0.0
+            span = hi - lo
+            integral = span <= qmax and float(np.abs(image - np.rint(image)).max() if image.size else 0.0) == 0.0
+            scale = 1.0 if integral or span == 0.0 else span / qmax
+            q = np.rint((image - lo) / scale)
+            return np.clip(q, 0.0, qmax).astype(tdt), scale, lo
+        return np.asarray(image, tdt), 1.0, 0.0
+
+    def _host_chunks(self, image: np.ndarray) -> Tuple[List[np.ndarray], float, float]:
+        """Pad to a whole number of chunks and split on host, in transfer dtype."""
+        d, h, w = image.shape
+        c = self.cfg.chunk
+        vol, scale, offset = self._encode(image)
         pad = (-d) % c
         if pad:
-            vol = np.concatenate([vol, np.zeros((pad, h, w), tdt)], axis=0)
-        return [vol[i : i + c] for i in range(0, d + pad, c)]
+            vol = np.concatenate([vol, np.zeros((pad, h, w), vol.dtype)], axis=0)
+        return [vol[i : i + c] for i in range(0, d + pad, c)], scale, offset
 
     def predict_volume(self, image: np.ndarray) -> np.ndarray:
         """image (D, H, W) float → label volume (D, H, W) uint8."""
         d, h, w = image.shape
         s = self.cfg.img_size
-
-        if self.predict_many_fn is not None:
-            pred = self._predict_volume_scan(image)
-        else:
-            # Double-buffered per-chunk pipeline (round 4): upload chunk k+1
-            # (async device_put) while chunk k's zoom+forward runs, and dispatch
-            # every chunk before pulling any result — upload, compute, and
-            # download all overlap. The reference ping-pongs one slice at a time
-            # (utils_synapse.py:50-81).
-            chunks = self._host_chunks(image)
-            fn = self._chunk_fn(h, w)
-            dev = jax.device_put(chunks[0])
-            outs = []
-            for k in range(len(chunks)):
-                cur = dev
-                if k + 1 < len(chunks):
-                    dev = jax.device_put(chunks[k + 1])  # overlaps fn(cur)
-                outs.append(fn(cur))
-            pred = np.concatenate([np.asarray(o) for o in outs], axis=0)[:d]
-
-        if (h, w) != (s, s):
+        need_zoom = (h, w) != (s, s)
+        if need_zoom:
             # Nearest back-zoom on HOST: only s² uint8 per slice crosses the link
             # (≈5× less transfer at 512² CT); pure indexing reproduces
             # F.zoom_nearest / scipy order-0 exactly (same index map).
             idx_h, valid_h = F._zoom_nearest_indices(s, h)
             idx_w, valid_w = F._zoom_nearest_indices(s, w)
-            pred = pred[:, idx_h][:, :, idx_w]
             valid = np.logical_and.outer(valid_h, valid_w)
-            pred = np.where(valid[None], pred, np.uint8(0))
-        return pred
+
+        def back_zoom(p):
+            if not need_zoom:
+                return p
+            p = p[:, idx_h][:, :, idx_w]
+            return np.where(valid[None], p, np.uint8(0))
+
+        if self.predict_many_fn is not None:
+            return back_zoom(self._predict_volume_scan(image))
+
+        # Double-buffered per-chunk pipeline (round 4): upload chunk k+1
+        # (async device_put) while chunk k's zoom+forward runs, and dispatch
+        # every chunk before pulling any result — upload, compute, and
+        # download all overlap. The reference ping-pongs one slice at a time
+        # (utils_synapse.py:50-81).
+        chunks, scale, offset = self._host_chunks(image)
+        fn = self._chunk_fn(h, w)
+        sc = jnp.float32(scale)
+        off = jnp.float32(offset)
+        dev = jax.device_put(chunks[0])
+        outs = []
+        for k in range(len(chunks)):
+            cur = dev
+            if k + 1 < len(chunks):
+                dev = jax.device_put(chunks[k + 1])  # overlaps fn(cur)
+            outs.append(fn(cur, sc, off))
+        # Pull + back-zoom per chunk (round 5): np.asarray(outs[k]) blocks only
+        # on chunk k, so the host-side index-map zoom of chunk k overlaps the
+        # compute AND download of chunks k+1.. instead of serializing after them.
+        parts = []
+        left = d
+        for o in outs:
+            take = min(left, o.shape[0])
+            if take <= 0:
+                break  # trailing all-padding chunk
+            parts.append(back_zoom(np.asarray(o)[:take]))
+            left -= take
+        return np.concatenate(parts, axis=0)
 
     def _predict_volume_scan(self, image: np.ndarray) -> np.ndarray:
         """Scan-dispatch path (predict_many_fn): whole-volume upload + grouped scan."""
         d, h, w = image.shape
         s = self.cfg.img_size
-        tdt = np.dtype(self.cfg.transfer_dtype)
-        x = jnp.asarray(np.asarray(image, tdt))[..., None].astype(jnp.float32)  # (D, H, W, 1)
+        vol, scale, offset = self._encode(image)
+        x = jnp.asarray(vol)[..., None].astype(jnp.float32) * scale + offset  # (D, H, W, 1)
         x = F.zoom_resize(x, (s, s), order=3) if (h, w) != (s, s) else x
         if self.cfg.normalize:
             x = (x - 0.5) / 0.5

@@ -116,11 +116,15 @@ class SRAAttention(nn.Module):
             # chunked/pallas cores cannot apply it — and every reference
             # config (b0–b5) uses attn_drop=0.0, so this is an opt-in
             # train-mode capability, not a default path.
-            if self.attn_impl.split("@", 1)[0] != "xla":
+            if self.attn_impl != "xla":
+                # plain 'xla' ONLY (ADVICE r4): an 'xla@model' impl would fall
+                # through to this dense path OUTSIDE shard_heads, silently
+                # dropping the TP head-local layout intent.
                 raise NotImplementedError(
                     f"attn_drop={self.attn_drop} > 0 requires attn_impl='xla' "
                     "(the chunked/pallas cores never materialize attention "
-                    "weights); all reference configs use attn_drop=0.0"
+                    "weights, and the dense dropout path bypasses the TP "
+                    "shard_map); all reference configs use attn_drop=0.0"
                 )
             logits = jnp.einsum("bhnd,bhmd->bhnm", q * jnp.asarray(scale, q.dtype), k)
             weights = F.softmax_fp32(logits, axis=-1)

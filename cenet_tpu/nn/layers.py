@@ -144,7 +144,7 @@ class Conv2d(nn.Module):
         else:
             # NB: two alternative small-channel conv paths exist with MEASURED
             # NEGATIVE results (PERF_NOTES) and are deliberately not routed:
-            # ops/smallc_conv.py (Pallas tap-packing: VPU operand rearrangement
+            # tools/negative_results/smallc_conv.py (Pallas tap-packing: VPU operand rearrangement
             # outweighs the MXU saving) and nn/functional.conv5x5_packed
             # (PER-CONV space-to-depth repack; the pack/unpack transposes ate
             # the win). Lane-starved full-res sites are instead handled at the

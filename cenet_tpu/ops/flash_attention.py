@@ -155,6 +155,16 @@ def diff_attention_core(q1, k1, q2, k2, v, lam, impl: str = "pallas") -> jnp.nda
     A₁V − λA₂V order of operations).
     """
     impl, axis = parse_impl(impl)
+    if impl == "ring":
+        # Sequence/context parallelism: the '@axis' names the SEQ mesh axis
+        # (tokens shard, k/v ride the ICI ring) — not a TP head axis. Each
+        # softmax group streams independently; λ combines local outputs.
+        from cenet_tpu.ops.ring_attention import make_ring_core
+
+        core = make_ring_core(axis or "seq")
+        out1 = core(q1, k1, v)
+        out2 = core(q2, k2, v)
+        return out1 - lam.astype(out1.dtype) * out2
     if axis is not None:
         from cenet_tpu.core.mesh import get_attention_mesh
 
@@ -202,6 +212,14 @@ def diff_attention_interleaved(q, k, v, lam, impl: str = "pallas") -> jnp.ndarra
     GSPMD gathers.
     """
     impl, axis = parse_impl(impl)
+    if impl == "ring":
+        # seq-parallel routing: decompose to the two softmax groups and stream
+        # each around the 'seq' ring (the interleaved-pair Pallas layout only
+        # pays off on-chip; under SP the N² map never exists anywhere).
+        return diff_attention_core(
+            q[:, 0::2], k[:, 0::2], q[:, 1::2], k[:, 1::2], v, lam,
+            impl="ring" if axis is None else f"ring@{axis}",
+        )
     if axis is not None:
         from cenet_tpu.core.mesh import get_attention_mesh
 

@@ -82,6 +82,13 @@ def make_ring_core(axis: str = "seq") -> Callable:
             or n != mtok
             or n % mesh.shape[axis]
         ):
+            from cenet_tpu.ops.flash_attention import _SMALL_LIMIT, chunked_attention_core
+
+            if q.shape[0] * q.shape[1] * n * mtok * 4 > _SMALL_LIMIT:
+                # off-mesh fallback at ring-scale shapes (the whole point of the
+                # ring is that the full map doesn't fit): query-block scan, same
+                # numerics, O(N·chunk) memory instead of a materialized N² map
+                return chunked_attention_core(q, k, v)
             return xla_attention_core(q, k, v)
         spec = P(None, None, axis, None)
         f = jax.shard_map(

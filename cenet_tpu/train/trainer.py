@@ -83,7 +83,13 @@ class Trainer:
             # with '@model' so the cores run head-local inside shard_map instead
             # of being all-gathered by GSPMD (which cannot partition Pallas
             # custom calls) — ops/flash_attention.shard_heads, tests/test_tp_attention.py.
-            if mesh.shape.get("model", 1) > 1 and "@" not in cfg.model.attn_impl:
+            # 'ring' is exempt: its '@axis' names the SEQ axis (defaults to 'seq'),
+            # not a TP head axis.
+            if (
+                mesh.shape.get("model", 1) > 1
+                and "@" not in cfg.model.attn_impl
+                and not cfg.model.attn_impl.startswith("ring")
+            ):
                 cfg = cfg.replace(
                     model=dataclasses.replace(cfg.model, attn_impl=cfg.model.attn_impl + "@model")
                 )
@@ -123,7 +129,21 @@ class Trainer:
 
     # -- compiled steps ------------------------------------------------------
 
+    def _register_mesh(self):
+        """Trace-time attention-mesh registration (ADVICE r4 construction-order
+        hazard): step functions trace lazily at first call, so the module global
+        set in __init__ could be clobbered by a later mesh-less Trainer before
+        this trainer's first trace — silently dropping the '@model' shard_map.
+        Called as the first statement INSIDE each step body, it re-runs at every
+        (re)trace, before any attention router reads the global, while the
+        returned callables stay plain jitted functions (keeping .lower/.as_text
+        for the profiling tools)."""
+        from cenet_tpu.core.mesh import set_attention_mesh
+
+        set_attention_mesh(self.mesh)
+
     def loss_fn(self, params, batch_stats, images, labels, rng):
+        self._register_mesh()
         out, mutated = self.model.apply(
             {"params": params, "batch_stats": batch_stats},
             images.astype(self.compute_dtype),
@@ -214,6 +234,7 @@ class Trainer:
 
     def make_eval_step(self) -> Callable:
         def eval_step(state: TrainState, images):
+            self._register_mesh()
             out = self.model.apply(state.as_variables(), images.astype(self.compute_dtype), train=False)
             return jax.nn.softmax(out.astype(jnp.float32), axis=-1)
 
@@ -231,6 +252,8 @@ class Trainer:
         the same way ``make_multi_step`` does for training."""
 
         def multi_eval(state: TrainState, images):
+            self._register_mesh()
+
             def body(_, im):
                 out = self.model.apply(state.as_variables(), im.astype(self.compute_dtype), train=False)
                 return None, jnp.argmax(out, axis=-1).astype(jnp.uint8)

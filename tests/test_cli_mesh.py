@@ -44,6 +44,7 @@ def _small_cfg(cfg, root, lists):
         model=cfg.model.__class__(
             input_channels=1, num_classes=2, scale_factors=(0.8, 0.4),
             diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", drop_path_rate=0.0,
+            attn_impl=cfg.model.attn_impl,  # keep the CLI's --attn_impl routing
         ),
         data=cfg.data.__class__(dataset="synapse", root_path=root, list_dir=lists, img_size=64),
     )
@@ -87,6 +88,32 @@ def test_cli_train_eval_tp_mesh(micro_synapse8, tmp_path):
     assert "tensor parallelism" in elog, elog[-2000:]
     figs = os.listdir(os.path.join(snap, "figures"))
     assert any(f.startswith("te_case0008") for f in figs), figs
+
+
+def test_cli_train_ring_seq_mesh(micro_synapse8, tmp_path):
+    """--attn_impl ring --mesh 1,1,8 trains through the CLI (VERDICT r4 #4):
+    tokens shard over the 'seq' axis, k/v ride the ppermute ring. At img 64 the
+    DSEB token dims (256/64/16) divide the 8-way seq axis so the ring engages
+    there; non-dividing sites (e.g. the 2² Nonlocal) exercise the fallback."""
+    from cenet_tpu.cli.main import build_argparser, make_config, run_train, snapshot_path
+
+    root, lists = micro_synapse8
+    out = str(tmp_path / "out_ring")
+    argv = [
+        "train", "--preset", "synapse", "--root_path", root, "--list_dir", lists,
+        "--output_dir", out, "--max_epochs", "1", "--batch_size", "8", "--no-amp",
+        "--mesh", "1,1,8", "--attn_impl", "ring", "--steps_per_call", "1",
+        "--eval_interval", "5",  # skip the volume eval: this test gates training
+    ]
+    args = build_argparser().parse_args(argv)
+    cfg = _small_cfg(make_config(args), root, lists)
+    assert cfg.model.attn_impl == "ring"
+    run_train(cfg, args)
+    snap = snapshot_path(cfg)
+    log = open(os.path.join(snap, "log_train.txt")).read()
+    assert "seq" in log, log[-2000:]  # the 3-axis mesh reached run_train's log
+    assert os.path.isdir(os.path.join(snap, "final"))
+    assert "loss" in log
 
 
 def test_eval_checkpoint_fallback_prefers_best_then_final(tmp_path):

@@ -80,6 +80,50 @@ def test_run_inference_aggregation(rng, caplog):
     assert dice > 0.99 and hd == 0.0
 
 
+def test_volume_uint16_transfer_exact_for_integer_volumes(rng):
+    """uint16 scale/offset upload (VERDICT r4 #3) is EXACT for integer-valued
+    volumes (raw HU-style CT): scale snaps to 1 and codes are the intensities."""
+    d, h, w, k = 6, 80, 80, 3
+    image = rng.integers(-1024, 3072, (d, h, w)).astype(np.float32)  # HU-like ints
+
+    def predict(x):
+        lvl = jnp.clip(jnp.abs(jnp.round(x[..., 0])) % k, 0, k - 1).astype(jnp.int32)
+        return jax.nn.one_hot(lvl, k)
+
+    base = VolumeInferenceConfig(img_size=80, chunk=4, normalize=False, num_classes=k)
+    inf16 = VolumeInferencer(predict, dataclasses_replace(base, transfer_dtype="uint16"))
+    vol, scale, offset = inf16._encode(image)
+    assert vol.dtype == np.uint16 and scale == 1.0 and offset == float(image.min())
+    np.testing.assert_array_equal(
+        vol.astype(np.float32) * scale + offset, image
+    )
+    a = VolumeInferencer(predict, base).predict_volume(image)
+    b = inf16.predict_volume(image)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_volume_quantized_transfer_close_for_float_volumes(rng):
+    """uint16/uint8 on float volumes: affine quantization bounded by the code book
+    (≤ range/65535 and ≤ range/255 respectively), decode on device."""
+    image = rng.random((4, 64, 64)).astype(np.float32) * 3.0 - 1.0
+    for dt, steps in (("uint16", 65535.0), ("uint8", 255.0)):
+        cfg = VolumeInferenceConfig(img_size=64, chunk=4, normalize=False,
+                                    num_classes=2, transfer_dtype=dt)
+        inf = VolumeInferencer(lambda x: jnp.stack([x[..., 0], -x[..., 0]], -1), cfg)
+        vol, scale, offset = inf._encode(image)
+        rec = vol.astype(np.float32) * scale + offset
+        span = float(image.max() - image.min())
+        assert np.abs(rec - image).max() <= span / steps * 0.5 + 1e-6
+        pred = inf.predict_volume(image)
+        assert pred.shape == image.shape
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 def test_volume_inference_predict_many_matches_per_chunk(rng):
     """The scan-dispatch path (predict_many_fn, groups of scan_chunks) must produce
     the same volume as per-chunk dispatch, including group padding."""

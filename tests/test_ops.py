@@ -214,8 +214,23 @@ def test_pallas_diff_attention_bwd_onekernel_matches_autodiff(rng):
             )
 
 
+def _load_negative_result(mod):
+    """Load a demoted negative-result kernel module from tools/negative_results
+    (VERDICT r4 #6: measured-negative Pallas kernels live outside the package
+    import surface but their parity tests stay runnable)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "negative_results", f"{mod}.py")
+    spec = importlib.util.spec_from_file_location(f"negative_results_{mod}", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
 def test_pallas_depthwise_fwd_interpret_matches_lax(rng):
-    from cenet_tpu.ops.depthwise import _lax_depthwise, _pallas_depthwise_fwd
+    dwmod = _load_negative_result("depthwise")
+    _lax_depthwise, _pallas_depthwise_fwd = dwmod._lax_depthwise, dwmod._pallas_depthwise_fwd
 
     for (shape, dil) in [((2, 16, 16, 8), 1), ((1, 14, 14, 20), 2), ((2, 9, 11, 5), 3)]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -226,7 +241,9 @@ def test_pallas_depthwise_fwd_interpret_matches_lax(rng):
 
 
 def test_pallas_depthwise_bwd_interpret_matches_autodiff(rng):
-    from cenet_tpu.ops.depthwise import _lax_depthwise, _pallas_depthwise_dw, _pallas_depthwise_fwd
+    dwmod = _load_negative_result("depthwise")
+    _lax_depthwise, _pallas_depthwise_dw, _pallas_depthwise_fwd = (
+        dwmod._lax_depthwise, dwmod._pallas_depthwise_dw, dwmod._pallas_depthwise_fwd)
 
     for (shape, dil) in [((2, 12, 12, 8), 1), ((1, 14, 10, 20), 2)]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -246,7 +263,8 @@ def test_pallas_depthwise_bwd_interpret_matches_autodiff(rng):
 
 
 def test_pallas_smallc_conv_fwd_interpret_matches_lax(rng):
-    from cenet_tpu.ops.smallc_conv import _lax_conv, _pallas_conv_fwd
+    scmod = _load_negative_result("smallc_conv")
+    _lax_conv, _pallas_conv_fwd = scmod._lax_conv, scmod._pallas_conv_fwd
 
     for (shape, k, cout) in [((2, 16, 16, 8), 5, 16), ((1, 20, 20, 1), 5, 32), ((2, 12, 10, 32), 3, 32)]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -258,7 +276,8 @@ def test_pallas_smallc_conv_fwd_interpret_matches_lax(rng):
 
 def test_pallas_smallc_conv_bwd_interpret_matches_autodiff(rng):
     """Fused one-kernel (dx, dw) vs autodiff of the lax conv."""
-    from cenet_tpu.ops.smallc_conv import _lax_conv, _pallas_conv_bwd
+    scmod = _load_negative_result("smallc_conv")
+    _lax_conv, _pallas_conv_bwd = scmod._lax_conv, scmod._pallas_conv_bwd
 
     for (shape, k, cout) in [((2, 12, 12, 8), 5, 16), ((1, 10, 14, 1), 3, 8), ((2, 16, 16, 64), 3, 64)]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)

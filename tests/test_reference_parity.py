@@ -431,14 +431,45 @@ def test_cenet_org_train_step_parity():
     assert n_bn > 0
 
 
-def test_cenet_multistep_trajectory_parity():
-    """TEN lockstep optimizer steps vs the actual torch reference (VERDICT r3 #3):
-    SGD momentum 0.9 + weight decay + per-iteration poly schedule + evolving BN
-    running stats, distinct batches per step, fp32, droppath 0. Catches schedule/
-    momentum/stat-decay drift that the single-step gates cannot. Reference
-    semantics: optimizer/scheduler ``utils/core.py:12-41``; per-iteration
-    ``scheduler.step()`` ``main_synapse.py:275-276``. Bar: params max-abs-diff
-    ≤ 1e-4 after 10 steps."""
+def _torch_boundary_crit(torch, k):
+    """Reference BoundaryDoULoss (``utils/core.py:83-131``) as a CPU-runnable,
+    autograd-friendly torch criterion (the reference hard-codes ``.cuda()``;
+    semantics verified against it in tests/test_losses.py). alpha depends only on
+    the target (integer counts — exact on both sides); grads flow through the
+    intersect/y_sum/z_sum DoU terms."""
+    kernel = torch.tensor([[0.0, 1, 0], [1, 1, 1], [0, 1, 0]]).view(1, 1, 3, 3)
+    smooth = 1e-5
+
+    def crit(logits, labels):
+        probs = torch.softmax(logits, dim=1)
+        target_all = torch.nn.functional.one_hot(labels, k).permute(0, 3, 1, 2).float()
+        total = 0.0
+        for i in range(k):
+            t = target_all[:, i]
+            y = torch.conv2d(t.unsqueeze(1), kernel, padding=1).squeeze(1) * t
+            y = torch.where(y == 5, torch.zeros_like(y), y)
+            alpha = 1 - (torch.count_nonzero(y) + smooth) / (torch.count_nonzero(t) + smooth)
+            alpha = torch.clamp(2 * alpha - 1, max=0.8)
+            inter = (probs[:, i] * t).sum()
+            ysum = (t * t).sum()
+            zsum = (probs[:, i] ** 2).sum()
+            total = total + (zsum + ysum - 2 * inter + smooth) / (zsum + ysum - (1 + alpha) * inter + smooth)
+        return total / k
+
+    return crit
+
+
+@pytest.mark.parametrize("loss_type", ["ce", "boundary"])
+def test_cenet_multistep_trajectory_parity(loss_type):
+    """TEN lockstep optimizer steps vs the actual torch reference (VERDICT r3 #3;
+    boundary variant VERDICT r4 #5 — BoundaryDoU is what Synapse/ACDC actually
+    train with, ``scripts/synapse.sh`` loss 'boundary' w=1): SGD momentum 0.9 +
+    weight decay + per-iteration poly schedule + evolving BN running stats,
+    distinct batches per step, fp32, droppath 0. Catches schedule/momentum/
+    stat-decay drift that the single-step gates cannot. Reference semantics:
+    optimizer/scheduler ``utils/core.py:12-41``; BoundaryDoU ``utils/core.py:83-131``;
+    per-iteration ``scheduler.step()`` ``main_synapse.py:275-276``. Bar: params
+    max-abs-diff ≤ 1e-4 after 10 steps."""
     torch = _torch()
     networks = load_reference()
     ref = networks.CENet(
@@ -470,12 +501,17 @@ def test_cenet_multistep_trajectory_parity():
     variables = _convert(ref, variables, "cenet")
 
     # ---- torch trajectory: exactly the reference loop (main_synapse.py:256-276)
+    torch_crit = (
+        (lambda out, lb: torch.nn.functional.cross_entropy(out, lb))
+        if loss_type == "ce"
+        else _torch_boundary_crit(torch, 4)
+    )
     opt = torch.optim.SGD(ref.parameters(), lr=LR, weight_decay=WD, momentum=0.9)
     sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lambda step: (1 - step / N) ** 0.9)
     losses_t = []
     for x, lb in batches:
         opt.zero_grad()
-        loss_t = torch.nn.functional.cross_entropy(ref(torch.from_numpy(x)), torch.from_numpy(lb).long())
+        loss_t = torch_crit(ref(torch.from_numpy(x)), torch.from_numpy(lb).long())
         loss_t.backward()
         opt.step()
         sched.step()
@@ -495,7 +531,7 @@ def test_cenet_multistep_trajectory_parity():
         ),
         train=cfg.train.__class__(
             max_epochs=1, batch_size=2, base_lr=LR, optimizer="sgd",
-            scheduler="poly", loss_type="ce", loss_weights="1.0", amp=False,
+            scheduler="poly", loss_type=loss_type, loss_weights="1.0", amp=False,
             weight_decay=WD,
         ),
     )

@@ -80,6 +80,49 @@ def test_ring_no_mesh_fallback(rng):
                                   np.asarray(xla_attention_core(q, k, v)))
 
 
+def test_ring_routes_diff_attention(seq_mesh, rng):
+    """attn_impl='ring' through the diff-attention routers (the DSEB path) must
+    match the exact two-softmax decomposition — the '@seq' suffix names the SEQ
+    axis, not a TP head axis (ops/flash_attention.py ring branch)."""
+    from cenet_tpu.ops.flash_attention import diff_attention_interleaved
+
+    b, h2, n, d = 2, 4, 64, 8
+    q = jnp.asarray(rng.standard_normal((b, h2, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h2, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h2 // 2, n, 2 * d)), jnp.float32)
+    lam = jnp.float32(0.35)
+    want = diff_attention_interleaved(q, k, v, lam, impl="xla")
+    for impl in ("ring", "ring@seq"):
+        got = diff_attention_interleaved(q, k, v, lam, impl=impl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5,
+                                   err_msg=impl)
+
+
+def test_ring_full_model_448(seq_mesh, rng):
+    """Whole-model integration at >224² (VERDICT r4 #4): CENet at 448² with
+    DSEB/Nonlocal token dims (112²=12544) riding the ring core over the 8-way
+    'seq' axis must match the chunked impl (bit-identical numerics to naive —
+    full-row fp32 softmax — at O(N·chunk) memory, which is why it is the
+    reference side here: the naive 12544² map would be 630 MB/head).
+    Reference trigger being exercised: the >224² token dims of dseb.py:114-118."""
+    from cenet_tpu.models.cenet import CENet
+
+    kw = dict(
+        input_channels=1, num_classes=2, scale_factors=(0.8, 0.4),
+        diffatt_num_heads=(2, 2, 2), encoder="pvt_v2_b0", skip_mode="cat",
+        dec_up_block="eucb", out_merge_mode="cat", out_up_block="upcn",
+        drop_path_rate=0.0,
+    )
+    model_ring = CENet(attn_impl="ring", **kw)
+    model_chunked = CENet(attn_impl="chunked", **kw)
+    x = jnp.asarray(rng.standard_normal((1, 448, 448, 1)), jnp.float32)
+    variables = model_chunked.init(jax.random.PRNGKey(0), x, train=False)
+    want = model_chunked.apply(variables, x, train=False)
+    got = jax.jit(lambda v, x: model_ring.apply(v, x, train=False))(variables, x)
+    assert got.shape == (1, 448, 448, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
 def test_ring_under_jit_inside_model_scale(seq_mesh, rng):
     """The core composes under jit with sharded inputs (the production shape:
     GSPMD lays out tokens over 'seq', shard_map runs the ring body)."""

@@ -312,11 +312,16 @@ def conv_small_c(x: jnp.ndarray, w: jnp.ndarray, padding: int) -> jnp.ndarray:
         and vmem_need <= 80 * 1024 * 1024 and h >= k and wd >= k
     )
     if ok:
-        # The 'ok' envelope is broader than the shape set exercised on real TPU;
-        # a Mosaic compile failure at an untested shape must degrade to the
-        # exact lax path, not raise (ADVICE r3).
+        # CAVEAT (ADVICE r4): this except only covers TRACE-TIME errors. When
+        # conv_small_c is traced inside an outer jit, Pallas/Mosaic *backend*
+        # compilation happens at XLA-compile time, after tracing, outside this
+        # try — an untested shape inside the 'ok' envelope can still fail the
+        # whole outer compile. A production routing would need a cached one-time
+        # interpret/compile probe per shape instead. Moot for the shipped
+        # framework: this kernel is a measured NEGATIVE result (PERF_NOTES r3)
+        # kept unrouted under tools/negative_results as the record.
         try:
             return _conv_small_c_pallas(x, w, padding)
-        except Exception:  # noqa: BLE001 — Mosaic errors vary by shape/backend
+        except Exception:  # noqa: BLE001 — trace-time Mosaic/shape errors only
             pass
     return _lax_conv(x, w, padding)
