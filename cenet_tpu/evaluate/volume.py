@@ -42,6 +42,19 @@ class VolumeInferenceConfig:
     # The scale/offset decode runs on device inside the chunk dispatch.
     transfer_dtype: str = "float32"
     scan_chunks: int = 4  # chunks per dispatch when a predict_many_fn is given
+    # Run the order-3 spline downscale to img_size on HOST, before the transfer
+    # encode, so only img_size² crosses the link per slice (512²→224² is 5.2×
+    # fewer bytes; composed with uint8 a 64×512² CT drops 67 MB → 3.2 MB on the
+    # wire). The host path applies the SAME separable scipy interpolation
+    # matrices as the device path (F.scipy_zoom_matrix), just via numpy fp32
+    # BLAS instead of Precision.HIGHEST MXU matmuls — differences are at fp32
+    # rounding level, and any uint8/uint16 quantization then happens on the
+    # POST-zoom values (strictly better than quantize-then-zoom). For
+    # link-starved deployments where upload dominates (PERF_NOTES: the axon
+    # tunnel moves ~6 MB/s); default off — the device zoom is the reference-
+    # exact production path and upscaling inputs (H,W < img_size) would cost
+    # MORE bytes on the wire, so host_zoom is skipped for those.
+    host_zoom: bool = False
 
 
 class VolumeInferencer:
@@ -119,6 +132,21 @@ class VolumeInferencer:
             return np.clip(q, 0.0, qmax).astype(tdt), scale, lo
         return np.asarray(image, tdt), 1.0, 0.0
 
+    def _host_zoom(self, chunk: np.ndarray) -> np.ndarray:
+        """(c, H, W) → (c, s, s) fp32 on host: the SAME separable spline operator
+        as the device path (``out = W_h @ x @ W_wᵀ`` per slice, with the cached
+        ``F.scipy_zoom_matrix`` matrices), applied via numpy fp32 BLAS."""
+        s = self.cfg.img_size
+        h, w = chunk.shape[1], chunk.shape[2]
+        wh = np.asarray(F.scipy_zoom_matrix(h, s, 3), np.float32)
+        ww = np.asarray(F.scipy_zoom_matrix(w, s, 3), np.float32)
+        x = chunk.astype(np.float32, copy=False)
+        return (wh @ x) @ ww.T  # (s,h)@(c,h,w)→(c,s,w); @(w,s)→(c,s,s)
+
+    def _host_zoom_active(self, h: int, w: int) -> bool:
+        s = self.cfg.img_size
+        return self.cfg.host_zoom and (h, w) != (s, s) and h * w > s * s
+
     def _host_chunks(self, image: np.ndarray) -> Tuple[List[np.ndarray], float, float]:
         """Pad to a whole number of chunks and split on host, in transfer dtype."""
         d, h, w = image.shape
@@ -151,22 +179,49 @@ class VolumeInferencer:
         if self.predict_many_fn is not None:
             return back_zoom(self._predict_volume_scan(image))
 
-        # Double-buffered per-chunk pipeline (round 4): upload chunk k+1
-        # (async device_put) while chunk k's zoom+forward runs, and dispatch
-        # every chunk before pulling any result — upload, compute, and
-        # download all overlap. The reference ping-pongs one slice at a time
-        # (utils_synapse.py:50-81).
-        chunks, scale, offset = self._host_chunks(image)
-        fn = self._chunk_fn(h, w)
-        sc = jnp.float32(scale)
-        off = jnp.float32(offset)
-        dev = jax.device_put(chunks[0])
-        outs = []
-        for k in range(len(chunks)):
-            cur = dev
-            if k + 1 < len(chunks):
-                dev = jax.device_put(chunks[k + 1])  # overlaps fn(cur)
-            outs.append(fn(cur, sc, off))
+        if self._host_zoom_active(h, w):
+            # Host-zoom pipeline (round 5): spline-downscale chunk k+1 on the
+            # host (numpy BLAS) while chunk k's async upload flies the link —
+            # only img_size² per slice ever crosses. Per-chunk affine
+            # scale/offset (the decode takes traced scalars, so no recompile),
+            # quantization applies to POST-zoom values.
+            c = self.cfg.chunk
+            pad = (-d) % c
+            raws = [image[i : i + c] for i in range(0, d, c)]
+            if pad:
+                raws[-1] = np.concatenate(
+                    [raws[-1], np.zeros((pad, h, w), image.dtype)], axis=0
+                )
+            fn = self._chunk_fn(s, s)  # chunks arrive pre-zoomed: no device zoom
+
+            def prep(r):
+                enc, sc, off = self._encode(self._host_zoom(r))
+                return jax.device_put(enc), jnp.float32(sc), jnp.float32(off)
+
+            nxt = prep(raws[0])
+            outs = []
+            for k in range(len(raws)):
+                dev, sc, off = nxt
+                if k + 1 < len(raws):
+                    nxt = prep(raws[k + 1])  # host zoom overlaps upload of k
+                outs.append(fn(dev, sc, off))
+        else:
+            # Double-buffered per-chunk pipeline (round 4): upload chunk k+1
+            # (async device_put) while chunk k's zoom+forward runs, and dispatch
+            # every chunk before pulling any result — upload, compute, and
+            # download all overlap. The reference ping-pongs one slice at a time
+            # (utils_synapse.py:50-81).
+            chunks, scale, offset = self._host_chunks(image)
+            fn = self._chunk_fn(h, w)
+            sc = jnp.float32(scale)
+            off = jnp.float32(offset)
+            dev = jax.device_put(chunks[0])
+            outs = []
+            for k in range(len(chunks)):
+                cur = dev
+                if k + 1 < len(chunks):
+                    dev = jax.device_put(chunks[k + 1])  # overlaps fn(cur)
+                outs.append(fn(cur, sc, off))
         # Pull + back-zoom per chunk (round 5): np.asarray(outs[k]) blocks only
         # on chunk k, so the host-side index-map zoom of chunk k overlaps the
         # compute AND download of chunks k+1.. instead of serializing after them.
@@ -184,9 +239,13 @@ class VolumeInferencer:
         """Scan-dispatch path (predict_many_fn): whole-volume upload + grouped scan."""
         d, h, w = image.shape
         s = self.cfg.img_size
-        vol, scale, offset = self._encode(image)
-        x = jnp.asarray(vol)[..., None].astype(jnp.float32) * scale + offset  # (D, H, W, 1)
-        x = F.zoom_resize(x, (s, s), order=3) if (h, w) != (s, s) else x
+        if self._host_zoom_active(h, w):
+            vol, scale, offset = self._encode(self._host_zoom(image))
+            x = jnp.asarray(vol)[..., None].astype(jnp.float32) * scale + offset
+        else:
+            vol, scale, offset = self._encode(image)
+            x = jnp.asarray(vol)[..., None].astype(jnp.float32) * scale + offset  # (D, H, W, 1)
+            x = F.zoom_resize(x, (s, s), order=3) if (h, w) != (s, s) else x
         if self.cfg.normalize:
             x = (x - 0.5) / 0.5
 

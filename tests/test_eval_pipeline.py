@@ -124,6 +124,56 @@ def dataclasses_replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def test_volume_host_zoom_matches_device_zoom(rng):
+    """host_zoom (round 5): the host-side numpy spline downscale is the same
+    separable operator as the device path, so predictions must agree — both with
+    a zoom-sensitive fake predictor and fp32 transfer (bit-level math differs
+    only at fp32 rounding; a thresholded predictor makes it label-stable)."""
+    d, h, w, k = 6, 96, 112, 3
+    image = rng.standard_normal((d, h, w)).astype(np.float32) * 2.0
+
+    def predict(x):  # threshold bands of the zoomed intensity
+        lvl = jnp.clip((x[..., 0] > 0).astype(jnp.int32) + (x[..., 0] > 0.5), 0, k - 1)
+        return jax.nn.one_hot(lvl, k)
+
+    base = VolumeInferenceConfig(img_size=48, chunk=4, normalize=False, num_classes=k)
+    dev = VolumeInferencer(predict, base).predict_volume(image)
+    host = VolumeInferencer(predict, dataclasses_replace(base, host_zoom=True)).predict_volume(image)
+    assert host.shape == dev.shape == (d, h, w)
+    assert (host == dev).mean() > 0.999  # fp32-rounding flips only at band edges
+
+    # upscaling inputs must NOT take the host path (more bytes on the wire)
+    small = rng.standard_normal((d, 32, 32)).astype(np.float32)
+    up = VolumeInferencer(predict, dataclasses_replace(base, host_zoom=True))
+    assert not up._host_zoom_active(32, 32)
+    assert up.predict_volume(small).shape == (d, 32, 32)
+
+
+def test_volume_host_zoom_scan_path_and_quantized(rng):
+    """host_zoom composes with the scan-dispatch path and with uint8/uint16
+    post-zoom quantization (quantize-after-zoom, per-chunk affine)."""
+    d, h, w, k = 8, 96, 96, 2
+    image = rng.standard_normal((d, h, w)).astype(np.float32)
+
+    def predict(x):
+        return jnp.stack([x[..., 0], -x[..., 0]], -1)
+
+    def predict_many(xs):
+        return jax.vmap(lambda x: jnp.argmax(predict(x), -1).astype(jnp.uint8))(xs)
+
+    base = VolumeInferenceConfig(img_size=48, chunk=4, normalize=False, num_classes=k,
+                                 host_zoom=True)
+    per_chunk = VolumeInferencer(predict, base).predict_volume(image)
+    scan = VolumeInferencer(predict, base, predict_many_fn=predict_many).predict_volume(image)
+    np.testing.assert_array_equal(per_chunk, scan)
+
+    u16 = VolumeInferencer(
+        predict, dataclasses_replace(base, transfer_dtype="uint16")
+    ).predict_volume(image)
+    assert u16.shape == per_chunk.shape
+    assert (u16 == per_chunk).mean() > 0.99  # quantization flips only at the boundary
+
+
 def test_volume_inference_predict_many_matches_per_chunk(rng):
     """The scan-dispatch path (predict_many_fn, groups of scan_chunks) must produce
     the same volume as per-chunk dispatch, including group padding."""
