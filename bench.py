@@ -299,7 +299,16 @@ def main():
         #    with the 1-core host zoom as its own floor.
         # uint16 is EXACT for raw integer-HU CT; the production default stays
         # fp32 + device zoom (evaluate/volume.py).
+        # 5 timed repeats per mode. Two dispersion stats are reported:
+        #  - "spread" = (max-min)/mean over ALL repeats (round-4-compatible
+        #    semantics) — on this tunnel it is dominated by whole-call stalls
+        #    (a single upload occasionally blocks for seconds; the train phase
+        #    documents the same failure mode and reports best-of-N for it);
+        #  - "spread_trimmed" = same stat with the single slowest repeat
+        #    dropped, quantifying run-to-run agreement once one stall is
+        #    excluded. Both ship so stall frequency stays visible.
         best = None
+        RESULT["volume_modes"] = {}
         for mode, kw in (("device_zoom_uint8", {}), ("host_zoom_uint8", {"host_zoom": True})):
             vcfg = VolumeInferenceConfig(
                 img_size=224, chunk=32, num_classes=9, transfer_dtype="uint8", **kw
@@ -307,18 +316,24 @@ def main():
             inf = VolumeInferencer(lambda x: eval_step(state, x), vcfg)
             _ = inf.predict_volume(vol)  # compile
             vt = []
-            for _ in range(3):  # best-of-3 (tunnel bandwidth varies)
+            for _ in range(5):
                 t0 = time.time()
                 pred = inf.predict_volume(vol)
                 _ = int(pred[0, 0, 0])
                 vt.append(time.time() - t0)
             sps = round(64 / min(vt), 1)
             spread = round((max(vt) - min(vt)) / (sum(vt) / len(vt)), 3)
+            tr = sorted(vt)[:-1]
+            spread_trimmed = round((max(tr) - min(tr)) / (sum(tr) / len(tr)), 3)
+            RESULT["volume_modes"][mode] = {
+                "sps": sps, "spread": spread, "spread_trimmed": spread_trimmed
+            }
             if best is None or sps > best[0]:
-                best = (sps, spread, mode)
+                best = (sps, spread, spread_trimmed, mode)
         RESULT["volume_inference_slices_per_sec"] = best[0]
         RESULT["volume_inference_spread"] = best[1]
-        RESULT["volume_inference_mode"] = best[2]
+        RESULT["volume_inference_spread_trimmed"] = best[2]
+        RESULT["volume_inference_mode"] = best[3]
     except Exception as e:
         RESULT.setdefault("warnings", []).append(f"volume phase failed: {type(e).__name__}")
         traceback.print_exc(file=sys.stderr)
